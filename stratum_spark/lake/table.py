@@ -1,0 +1,612 @@
+"""LakeTable: snapshot-log table with bucketed copy-on-write MERGE.
+
+Storage layout (all files immutable once written):
+
+    <root>/_meta/v0000000001.json      snapshot (atomic O_EXCL create)
+    <root>/_meta/_latest               pointer, atomic os.replace
+    <root>/data/<commit-uuid>/_bucket=<b>/part-*.parquet
+
+A snapshot records the schema history (field-id based, lake/schema.py),
+the live data files per hash bucket, and the per-job committed-epoch map
+that gives exactly-once MERGE application.
+
+Scale design (the 100 TB story -- tested here at sandbox scale):
+  * Rows are hash-bucketed on the merge key: bucket = pmod(xxhash64(key), B).
+    B is a table property; at 100 TB you size B so a bucket is a few
+    target files (e.g. B = 65536 for ~1.5 GB/bucket). MERGE rewrites
+    ONLY buckets touched by the batch -- a micro-batch touching k buckets
+    costs O(k * bucket_size) IO regardless of table size, the same
+    asymptotics as Iceberg copy-on-write MERGE with bucket partitioning.
+  * The bucket column is a physical partition dir, so the rewrite is an
+    ordinary partitioned parquet write; shuffle is one hash exchange on
+    (_bucket) of (touched target rows + batch rows).
+  * Merge-batch inputs are pre-deduped to one row per key (LWW upstream,
+    cdc/dedup.py), so the full-outer join has no key skew by construction.
+  * All metadata ops (schema add/rename/widen, epoch bookkeeping) are
+    O(metadata), never touch data files.
+
+Reference parity: staging-table MERGE transaction
+(crates/engine-processing/src/io/sink/postgres.rs:130-198, MERGE SQL shape
+crates/connectors/src/sql/query/generator.rs:187-229), write-mode selection
+(crates/engine-processing/src/consumer/components/writer.rs:54-111),
+checkpoint/commit protocol
+(crates/engine-processing/src/consumer/components/coordinator.rs:61-135).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Observation
+
+from stratum_spark.lake.schema import TableSchema
+
+_META = "_meta"
+_DATA = "data"
+_BUCKET = "_bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    schema_id: int
+    rows: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["bucket"], d["schema_id"], d["rows"])
+
+
+@dataclass(frozen=True)
+class MergeStats:
+    epoch_skipped: bool = False
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    buckets_touched: int = 0
+    wall_ms: int = 0
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_id: int
+    schemas: dict[int, TableSchema]
+    key: str | None  # merge-key column NAME in current schema (None = keyless/append-only)
+    key_field_id: int | None
+    n_buckets: int
+    files: list[FileEntry] = dc_field(default_factory=list)
+    committed: dict[str, dict] = dc_field(default_factory=dict)  # job_id -> {epoch, lsn_max}
+    properties: dict[str, str] = dc_field(default_factory=dict)
+    timestamp_ms: int = 0
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.schemas[self.schema_id]
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema_id": self.schema_id,
+            "schemas": {str(k): v.to_json() for k, v in self.schemas.items()},
+            "key": self.key,
+            "key_field_id": self.key_field_id,
+            "n_buckets": self.n_buckets,
+            "files": [f.to_json() for f in self.files],
+            "committed": self.committed,
+            "properties": self.properties,
+            "timestamp_ms": self.timestamp_ms,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            schema_id=d["schema_id"],
+            schemas={int(k): TableSchema.from_json(v) for k, v in d["schemas"].items()},
+            key=d.get("key"),
+            key_field_id=d.get("key_field_id"),
+            n_buckets=d["n_buckets"],
+            files=[FileEntry.from_json(f) for f in d.get("files", [])],
+            committed=d.get("committed", {}),
+            properties=d.get("properties", {}),
+            timestamp_ms=d.get("timestamp_ms", 0),
+        )
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class LakeTable:
+    """Handle to a lake table rooted at a local/posix directory.
+
+    (On a cluster this root would be an object-store prefix and the
+    O_EXCL version-file create would be a catalog/lock-service CAS --
+    exactly Iceberg's commit model.)
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self._snap: Snapshot | None = None
+
+    # ------------------------------------------------------------------
+    # creation / loading
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: TableSchema | str,
+        key: str | None = None,
+        n_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        if isinstance(schema, str):
+            schema = TableSchema.from_ddl(schema)
+        root = os.path.abspath(root)
+        meta = os.path.join(root, _META)
+        os.makedirs(meta, exist_ok=False)
+        key_fid = schema.field_by_name(key).id if key else None
+        snap = Snapshot(
+            version=1,
+            schema_id=schema.schema_id,
+            schemas={schema.schema_id: schema},
+            key=key,
+            key_field_id=key_fid,
+            n_buckets=n_buckets,
+            properties=properties or {},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        t = LakeTable(spark, root)
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        t = LakeTable(spark, root)
+        t.snapshot()  # raises if missing
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.isfile(os.path.join(root, _META, "_latest"))
+
+    # ------------------------------------------------------------------
+    # snapshot log
+    # ------------------------------------------------------------------
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.root, _META, f"v{v:010d}.json")
+
+    def snapshot(self, version: int | None = None, refresh: bool = True) -> Snapshot:
+        if version is not None:
+            with open(self._version_path(version)) as fh:
+                return Snapshot.from_json(json.load(fh))
+        if self._snap is None or refresh:
+            with open(os.path.join(self.root, _META, "_latest")) as fh:
+                v = int(fh.read().strip())
+            with open(self._version_path(v)) as fh:
+                self._snap = Snapshot.from_json(json.load(fh))
+        return self._snap
+
+    def history(self) -> list[Snapshot]:
+        metas = sorted(
+            f for f in os.listdir(os.path.join(self.root, _META)) if f.startswith("v")
+        )
+        out = []
+        for m in metas:
+            with open(os.path.join(self.root, _META, m)) as fh:
+                out.append(Snapshot.from_json(json.load(fh)))
+        return out
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic commit: O_EXCL create of the version file is the CAS;
+        losing the race raises CommitConflict (caller refreshes+retries)."""
+        snap.timestamp_ms = int(time.time() * 1000)
+        path = self._version_path(snap.version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {snap.version} already committed") from e
+        with os.fdopen(fd, "w") as fh:
+            json.dump(snap.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(self.root, _META, f"._latest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(snap.version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.root, _META, "_latest"))
+        self._snap = snap
+
+    # ------------------------------------------------------------------
+    # read path (schema-evolution-resolving, bucket-pruned)
+    # ------------------------------------------------------------------
+    def _bucket_expr(self, key_col: str) -> F.Column:
+        snap = self.snapshot(refresh=False)
+        return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(snap.n_buckets)).cast("int")
+
+    def _resolve(self, df: DataFrame, from_schema: TableSchema, to_schema: TableSchema) -> DataFrame:
+        """Map a DataFrame written under from_schema to to_schema by field id:
+        rename via id match, widen via cast, missing columns as typed nulls."""
+        cols = []
+        for f in to_schema.fields:
+            src = from_schema.field_by_id(f.id)
+            if src is None:
+                cols.append(F.lit(None).cast(f.spark_type).alias(f.name))
+            else:
+                cols.append(F.col(src.name).cast(f.spark_type).alias(f.name))
+        return df.select(*cols)
+
+    def _read_entries(self, entries: list[FileEntry], snap: Snapshot) -> DataFrame:
+        cur = snap.schema
+        if not entries:
+            return self.spark.createDataFrame([], cur.spark_schema())
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e.schema_id, []).append(os.path.join(self.root, e.path))
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_schema.items()):
+            hist = snap.schemas[sid]
+            raw = self.spark.read.schema(hist.spark_schema()).parquet(*paths)
+            parts.append(self._resolve(raw, hist, cur))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        return self._read_entries(snap.files, snap)
+
+    def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        bs = set(buckets)
+        return self._read_entries([e for e in snap.files if e.bucket in bs], snap)
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def _align(
+        self, df: DataFrame, schema: TableSchema, passthrough: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Align an input DataFrame to the table schema by NAME (caller-facing
+        path -- names are current), casting to schema types. Extra columns
+        are an error; missing nullable columns become nulls. passthrough
+        columns are kept verbatim after the schema columns."""
+        in_cols = {c.lower() for c in df.columns}
+        extra = in_cols - {f.name.lower() for f in schema.fields} - {p.lower() for p in passthrough}
+        if extra:
+            raise ValueError(f"unknown columns for table: {sorted(extra)}")
+        cols = []
+        for f in schema.fields:
+            if f.name.lower() in in_cols:
+                cols.append(F.col(f.name).cast(f.spark_type).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.spark_type).alias(f.name))
+        cols += [F.col(p) for p in passthrough if p.lower() in in_cols]
+        return df.select(*cols)
+
+    def _write_data(self, df: DataFrame, snap: Snapshot) -> list[FileEntry]:
+        """Write df (current-schema cols + _bucket) partitioned by bucket under
+        a fresh commit dir; return the file entries. Repartition on _bucket so
+        each task writes whole buckets (no tiny-file explosion)."""
+        commit_id = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join(_DATA, commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        (
+            df.repartition(nparts, F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .mode("error")
+            .parquet(out_dir)
+        )
+        entries: list[FileEntry] = []
+        if not os.path.isdir(out_dir):
+            return entries
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith(f"{_BUCKET}="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in os.listdir(os.path.join(out_dir, bdir)):
+                if fn.endswith(".parquet"):
+                    full = os.path.join(out_dir, bdir, fn)
+                    entries.append(
+                        FileEntry(
+                            path=os.path.join(rel_dir, bdir, fn),
+                            bucket=b,
+                            schema_id=snap.schema_id,
+                            rows=_parquet_rows(full),
+                        )
+                    )
+        return entries
+
+    def append(self, df: DataFrame) -> int:
+        """Insert write-mode (stratum WriteMode::Insert,
+        crates/model/src/execution/pipeline.rs:47-52): blind fast-path append,
+        no key matching. Returns rows appended."""
+        snap = self.snapshot()
+        aligned = self._align(df, snap.schema)
+        if snap.key:
+            aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
+        else:
+            aligned = aligned.withColumn(
+                _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
+            )
+        entries = self._write_data(aligned, snap)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=snap.files + entries,
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return sum(e.rows for e in entries)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace write-mode: new snapshot referencing only the new files."""
+        snap = self.snapshot()
+        aligned = self._align(df, snap.schema)
+        if snap.key:
+            aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
+        else:
+            aligned = aligned.withColumn(
+                _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
+            )
+        entries = self._write_data(aligned, snap)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=entries,
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return sum(e.rows for e in entries)
+
+    # ------------------------------------------------------------------
+    # MERGE (the centerpiece)
+    # ------------------------------------------------------------------
+    def merge(
+        self,
+        batch: DataFrame,
+        op_col: str | None = "op",
+        job_id: str | None = None,
+        epoch: int | None = None,
+        lsn_max: int | None = None,
+        mode: str = "upsert",
+    ) -> MergeStats:
+        """MERGE batch INTO table ON table.key = batch.key.
+
+        batch must carry at most ONE row per key (run LWW dedup upstream;
+        cdc/dedup.py). op_col values: 'I'/'U' upsert the row, 'D' deletes;
+        op_col=None treats every row as upsert. mode: 'upsert' (default),
+        'update' (only matched rows change -- stratum WriteMode::Update),
+        'insert_new' (only unmatched rows insert).
+
+        Exactly-once: with (job_id, epoch), a replayed epoch <= the
+        committed epoch for job_id is skipped -- the MERGE + the epoch
+        bookmark commit atomically in one snapshot, mirroring stratum's
+        write -> WAL BatchCommit -> Committed-checkpoint sequence
+        (coordinator.rs:61-135) collapsed into a single atomic commit.
+
+        Equivalent SQL (what this runs on real Iceberg):
+            MERGE INTO t USING s ON t.<key> = s.<key>
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+        """
+        t0 = time.time()
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("merge requires a key-ed table")
+        if job_id is not None and epoch is not None:
+            last = snap.committed.get(job_id, {}).get("epoch", -1)
+            if epoch <= last:
+                return MergeStats(epoch_skipped=True)
+
+        key = snap.key
+        schema = snap.schema
+        data_cols = [f.name for f in schema.fields]
+
+        src = batch
+        if op_col is None or op_col not in src.columns:
+            src = src.withColumn("__op", F.lit("U"))
+        else:
+            src = src.withColumnRenamed(op_col, "__op")
+        src = src.withColumn("__op", F.coalesce(F.col("__op"), F.lit("U")))
+        # align payload columns (D rows may carry nulls; key must be present)
+        src_aligned = self._align(src, schema, passthrough=("__op",)).withColumn(
+            _BUCKET, self._bucket_expr(key)
+        )
+
+        # bucket pruning: read only buckets the batch touches. The distinct
+        # bucket list is tiny (<= n_buckets ints) -- driver collect is safe.
+        touched = [r[0] for r in src_aligned.select(_BUCKET).distinct().collect()]
+        target = self.read_buckets(touched, version=snap.version).withColumn(
+            _BUCKET, self._bucket_expr(key)
+        )
+
+        s_cols = [F.col(f"s.{c}").alias(f"s_{c}") for c in data_cols]
+        t_cols = [F.col(f"t.{c}").alias(f"t_{c}") for c in data_cols]
+        joined = (
+            target.alias("t")
+            .join(src_aligned.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+            .select(
+                *t_cols,
+                *s_cols,
+                F.col("s.__op").alias("s_op"),
+                F.coalesce(F.col(f"t.{_BUCKET}"), F.col(f"s.{_BUCKET}")).alias(_BUCKET),
+            )
+        )
+
+        matched = F.col(f"t_{key}").isNotNull() & F.col(f"s_{key}").isNotNull()
+        src_only = F.col(f"t_{key}").isNull() & F.col(f"s_{key}").isNotNull()
+        is_del = F.col("s_op") == F.lit("D")
+
+        if mode == "upsert":
+            keep = F.col(f"s_{key}").isNull() | (matched & ~is_del) | (src_only & ~is_del)
+            take_src = F.col(f"s_{key}").isNotNull() & ~is_del
+        elif mode == "update":
+            keep = F.col(f"t_{key}").isNotNull() & ~(matched & is_del)
+            take_src = matched & ~is_del
+        elif mode == "insert_new":
+            keep = F.col(f"t_{key}").isNotNull() | (src_only & ~is_del)
+            take_src = src_only & ~is_del
+        else:
+            raise ValueError(f"unknown merge mode: {mode}")
+
+        obs = Observation("merge_stats")
+        observed = joined.observe(
+            obs,
+            F.sum((src_only & ~is_del).cast("long")).alias("ins"),
+            F.sum((matched & ~is_del).cast("long")).alias("upd"),
+            F.sum((matched & is_del).cast("long")).alias("dele"),
+        )
+        result = observed.filter(keep).select(
+            *[
+                F.when(take_src, F.col(f"s_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
+                for c in data_cols
+            ],
+            F.col(_BUCKET),
+        )
+
+        entries = self._write_data(result, snap)
+        touched_set = set(touched)
+        kept_files = [e for e in snap.files if e.bucket not in touched_set]
+        committed = dict(snap.committed)
+        if job_id is not None and epoch is not None:
+            committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=kept_files + entries,
+            committed=committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        row = obs.get
+        ins, upd, dele = (row.get("ins") or 0), (row.get("upd") or 0), (row.get("dele") or 0)
+        if mode == "update":
+            ins = 0
+        if mode == "insert_new":
+            upd = 0
+        return MergeStats(
+            rows_inserted=int(ins),
+            rows_updated=int(upd),
+            rows_deleted=int(dele),
+            buckets_touched=len(touched),
+            wall_ms=int((time.time() - t0) * 1000),
+        )
+
+    # ------------------------------------------------------------------
+    # schema evolution (metadata-only commits)
+    # ------------------------------------------------------------------
+    def _evolve(self, new_schema: TableSchema) -> None:
+        snap = self.snapshot()
+        schemas = dict(snap.schemas)
+        schemas[new_schema.schema_id] = new_schema
+        key = snap.key
+        if snap.key_field_id is not None:
+            kf = new_schema.field_by_id(snap.key_field_id)
+            if kf is None:
+                raise ValueError("cannot drop/lose the merge key column")
+            key = kf.name
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=new_schema.schema_id,
+            schemas=schemas,
+            key=key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=snap.files,
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+
+    def add_column(self, name: str, type_ddl: str) -> None:
+        self._evolve(self.snapshot().schema.add_column(name, type_ddl))
+
+    def rename_column(self, old: str, new: str) -> None:
+        self._evolve(self.snapshot().schema.rename_column(old, new))
+
+    def widen_type(self, name: str, new_type: str) -> None:
+        self._evolve(self.snapshot().schema.widen_type(name, new_type))
+
+    def drop_column(self, name: str) -> None:
+        self._evolve(self.snapshot().schema.drop_column(name))
+
+    # ------------------------------------------------------------------
+    # bookkeeping
+    # ------------------------------------------------------------------
+    def committed_epoch(self, job_id: str) -> int:
+        return self.snapshot().committed.get(job_id, {}).get("epoch", -1)
+
+    def committed_lsn(self, job_id: str) -> int | None:
+        return self.snapshot().committed.get(job_id, {}).get("lsn_max")
+
+    def row_count(self) -> int:
+        return sum(e.rows for e in self.snapshot().files)
+
+    def compact(self, target_files_per_bucket: int = 1) -> None:
+        """Rewrite buckets whose file count exceeds the target (maintenance;
+        Iceberg rewrite_data_files analog)."""
+        snap = self.snapshot()
+        by_bucket: dict[int, list[FileEntry]] = {}
+        for e in snap.files:
+            by_bucket.setdefault(e.bucket, []).append(e)
+        todo = [b for b, es in by_bucket.items() if len(es) > target_files_per_bucket]
+        if not todo:
+            return
+        df = self.read_buckets(todo, version=snap.version)
+        if snap.key:
+            df = df.withColumn(_BUCKET, self._bucket_expr(snap.key))
+        else:
+            df = df.withColumn(
+                _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
+            )
+        entries = self._write_data(df, snap)
+        todo_set = set(todo)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=[e for e in snap.files if e.bucket not in todo_set] + entries,
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)

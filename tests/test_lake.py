@@ -1,0 +1,165 @@
+"""LakeTable format tests: write modes, MERGE semantics, schema evolution,
+time travel, idempotent epoch commits.
+
+Mirrors the reference's write-path tests (staging MERGE upsert
+crates/engine-processing/src/io/sink/postgres.rs:78-198, write-mode model
+crates/model/src/execution/pipeline.rs:47-52, ALTER ADD COLUMN
+crates/engine-tests/src/integration.rs:107).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stratum_spark.lake import LakeTable, TableSchema
+
+DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def rows_as_dict(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "tok"), DDL, key="doc_id", n_buckets=4)
+    base = spark.createDataFrame(
+        [
+            ("d1", [1, 2, 3], 3, "web"),
+            ("d2", [4, 5], 2, "books"),
+            ("d3", [6], 1, "code"),
+        ],
+        DDL,
+    )
+    t.append(base)
+    return t
+
+
+def test_append_read_roundtrip(table):
+    got = rows_as_dict(table.read())
+    assert set(got) == {"d1", "d2", "d3"}
+    assert got["d1"]["tokens"] == [1, 2, 3]
+    assert table.row_count() == 3
+
+
+def test_merge_upsert_update_delete_insert(spark, table):
+    batch = spark.createDataFrame(
+        [
+            ("U", "d1", [9, 9], 2, "web"),      # update existing
+            ("I", "d4", [7, 8, 9], 3, "wiki"),  # insert new
+            ("D", "d2", None, None, None),       # delete existing
+            ("D", "d9", None, None, None),       # delete of absent key: no-op
+        ],
+        f"op string, {DDL}",
+    )
+    stats = table.merge(batch, op_col="op")
+    assert (stats.rows_inserted, stats.rows_updated, stats.rows_deleted) == (1, 1, 1)
+    got = rows_as_dict(table.read())
+    assert set(got) == {"d1", "d3", "d4"}
+    assert got["d1"]["tokens"] == [9, 9]
+    assert got["d4"]["source"] == "wiki"
+
+
+def test_merge_modes(spark, table):
+    batch = spark.createDataFrame(
+        [("U", "d1", [1], 1, "web"), ("I", "d5", [5], 1, "web")], f"op string, {DDL}"
+    )
+    table.merge(batch, op_col="op", mode="update")
+    got = rows_as_dict(table.read())
+    assert "d5" not in got and got["d1"]["tokens"] == [1]
+
+    table.merge(batch, op_col="op", mode="insert_new")
+    got = rows_as_dict(table.read())
+    assert got["d5"]["tokens"] == [5]
+
+
+def test_epoch_idempotence(spark, table):
+    batch = spark.createDataFrame([("U", "d1", [42], 1, "web")], f"op string, {DDL}")
+    s1 = table.merge(batch, op_col="op", job_id="j", epoch=0, lsn_max=10)
+    assert not s1.epoch_skipped and table.committed_epoch("j") == 0
+    # replay of the same epoch is a no-op (exactly-once on re-delivery)
+    batch2 = spark.createDataFrame([("U", "d1", [0], 1, "web")], f"op string, {DDL}")
+    s2 = table.merge(batch2, op_col="op", job_id="j", epoch=0)
+    assert s2.epoch_skipped
+    assert rows_as_dict(table.read())["d1"]["tokens"] == [42]
+    assert table.committed_lsn("j") == 10
+    s3 = table.merge(batch2, op_col="op", job_id="j", epoch=1)
+    assert not s3.epoch_skipped
+    assert rows_as_dict(table.read())["d1"]["tokens"] == [0]
+
+
+def test_time_travel_and_overwrite(spark, table):
+    v1 = table.snapshot().version
+    table.overwrite(spark.createDataFrame([("dX", [0], 1, "web")], DDL))
+    assert set(rows_as_dict(table.read())) == {"dX"}
+    assert set(rows_as_dict(table.read(version=v1))) == {"d1", "d2", "d3"}
+
+
+def test_schema_evolution_add_rename_widen(spark, table):
+    table.add_column("lang", "string")
+    table.rename_column("source", "corpus")
+    table.widen_type("n_tok", "bigint")
+    sch = table.snapshot().schema
+    assert sch.names == ["doc_id", "tokens", "n_tok", "corpus", "lang"]
+    assert sch.field_by_name("n_tok").type == "bigint"
+
+    # old files resolve through the schema history: renamed col readable,
+    # added col null, widened col cast
+    got = rows_as_dict(table.read())
+    assert got["d1"]["corpus"] == "web" and got["d1"]["lang"] is None
+    assert isinstance(got["d1"]["n_tok"], int)
+
+    # merge with NEW schema columns works against old data files
+    batch = spark.createDataFrame(
+        [("U", "d2", [1, 1], 2, "books", "en"), ("I", "d7", [3], 1, "wiki", "fr")],
+        "op string, doc_id string, tokens array<int>, n_tok bigint, corpus string, lang string",
+    )
+    stats = table.merge(batch, op_col="op")
+    assert (stats.rows_inserted, stats.rows_updated) == (1, 1)
+    got = rows_as_dict(table.read())
+    assert got["d2"]["lang"] == "en" and got["d7"]["corpus"] == "wiki"
+    assert got["d1"]["lang"] is None  # untouched rows keep nulls for added col
+
+
+def test_widen_rejects_narrowing(table):
+    with pytest.raises(ValueError):
+        table.widen_type("n_tok", "smallint")
+
+
+def test_bucket_pruning_reads_only_touched_buckets(spark, table):
+    """A single-key merge must not rewrite every bucket."""
+    # populate all buckets so at least one is untouched by the merge
+    table.append(
+        spark.createDataFrame([(f"k{i}", [i], 1, "web") for i in range(32)], DDL)
+    )
+    assert len({e.bucket for e in table.snapshot().files}) == 4
+    batch = spark.createDataFrame([("U", "d1", [1], 1, "web")], f"op string, {DDL}")
+    before = {e.path for e in table.snapshot().files}
+    stats = table.merge(batch, op_col="op")
+    assert stats.buckets_touched == 1
+    after = table.snapshot().files
+    untouched_kept = [e for e in after if e.path in before]
+    assert untouched_kept, "untouched bucket files must be carried over, not rewritten"
+
+
+def test_compact(spark, table):
+    for i in range(3):
+        table.append(spark.createDataFrame([(f"x{i}", [i], 1, "web")], DDL))
+    n_before = table.row_count()
+    table.compact(target_files_per_bucket=1)
+    assert table.row_count() == n_before
+    by_bucket: dict[int, int] = {}
+    for e in table.snapshot().files:
+        by_bucket[e.bucket] = by_bucket.get(e.bucket, 0) + 1
+    assert all(v <= 1 for v in by_bucket.values())
+    assert set(rows_as_dict(table.read())) >= {"x0", "x1", "x2"}
+
+
+def test_keyless_append_only_table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "log"), "a int, b string", n_buckets=2)
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"))
+    t.append(spark.createDataFrame([(3, "z")], "a int, b string"))
+    assert t.read().count() == 3
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([(1, "x")], "a int, b string"))
