@@ -401,6 +401,7 @@ class LakeTable:
         epoch: int | None = None,
         lsn_max: int | None = None,
         mode: str = "upsert",
+        precedence_col: str | None = None,
     ) -> MergeStats:
         """MERGE batch INTO table ON table.key = batch.key.
 
@@ -470,12 +471,26 @@ class LakeTable:
         src_only = F.col(f"t_{key}").isNull() & F.col(f"s_{key}").isNotNull()
         is_del = F.col("s_op") == F.lit("D")
 
+        # stale-event guard: with a precedence column (the source LSN), a
+        # matched src row older than the target row is a no-op -- makes
+        # at-least-once re-delivery of old events safe even across epochs.
+        if precedence_col is not None:
+            if precedence_col not in data_cols:
+                raise ValueError(f"precedence column not in table schema: {precedence_col}")
+            stale = matched & (
+                F.col(f"s_{precedence_col}") < F.col(f"t_{precedence_col}")
+            ).cast("boolean").eqNullSafe(F.lit(True))
+        else:
+            stale = F.lit(False)
+
         if mode == "upsert":
-            keep = F.col(f"s_{key}").isNull() | (matched & ~is_del) | (src_only & ~is_del)
-            take_src = F.col(f"s_{key}").isNotNull() & ~is_del
+            keep = (F.col(f"t_{key}").isNotNull() & (F.col(f"s_{key}").isNull() | stale | ~is_del)) | (
+                src_only & ~is_del
+            )
+            take_src = F.col(f"s_{key}").isNotNull() & ~is_del & ~stale
         elif mode == "update":
-            keep = F.col(f"t_{key}").isNotNull() & ~(matched & is_del)
-            take_src = matched & ~is_del
+            keep = F.col(f"t_{key}").isNotNull() & ~(matched & is_del & ~stale)
+            take_src = matched & ~is_del & ~stale
         elif mode == "insert_new":
             keep = F.col(f"t_{key}").isNotNull() | (src_only & ~is_del)
             take_src = src_only & ~is_del
@@ -486,8 +501,8 @@ class LakeTable:
         observed = joined.observe(
             obs,
             F.sum((src_only & ~is_del).cast("long")).alias("ins"),
-            F.sum((matched & ~is_del).cast("long")).alias("upd"),
-            F.sum((matched & is_del).cast("long")).alias("dele"),
+            F.sum((matched & ~is_del & ~stale).cast("long")).alias("upd"),
+            F.sum((matched & is_del & ~stale).cast("long")).alias("dele"),
         )
         result = observed.filter(keep).select(
             *[
@@ -570,6 +585,24 @@ class LakeTable:
     # ------------------------------------------------------------------
     # bookkeeping
     # ------------------------------------------------------------------
+    def set_properties(self, updates: dict[str, str]) -> None:
+        """Metadata-only commit updating table properties."""
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        props.update(updates)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=snap.files,
+            committed=snap.committed,
+            properties=props,
+        )
+        self._write_snapshot(new)
+
     def committed_epoch(self, job_id: str) -> int:
         return self.snapshot().committed.get(job_id, {}).get("epoch", -1)
 
