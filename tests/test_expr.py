@@ -1,0 +1,94 @@
+"""Expression-language semantics (reference eval/binary.rs + runtime.rs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stratum_spark.functions import Bin, Call, Ident, IsNull, Lit, Un, When, compile_expr
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 7, 2, "a", None),
+            (2, -7, 2, "b", "x"),
+            (3, 7, -2, None, "y"),
+            (4, None, 2, "a", None),
+        ],
+        "id int, a int, b int, s string, t string",
+    )
+
+
+def evl(df, e):
+    return [r["r"] for r in df.select(compile_expr(e, df).alias("r")).orderBy("id").collect()]
+
+
+def test_int_division_truncates(spark, df):
+    # Rust i64 semantics: 7/2=3, -7/2=-3, 7/-2=-3 (eval/binary.rs:88-96)
+    assert evl(df, Bin("/", Ident("a"), Ident("b"))) == [3, -3, -3, None]
+
+
+def test_float_division_stays_fractional(spark, df):
+    got = evl(df, Bin("/", Bin("*", Ident("a"), Lit(1.0)), Ident("b")))
+    assert got[0] == 3.5
+
+
+def test_null_safe_equality(spark, df):
+    # NULL == NULL -> TRUE, NULL == x -> FALSE (eval/binary.rs:225-239)
+    assert evl(df, Bin("==", Ident("s"), Ident("t"))) == [False, False, False, False]
+    got = evl(df, Bin("==", Ident("a"), Ident("a")))
+    assert got == [True, True, True, True]  # row 4: NULL == NULL -> TRUE
+    got_ne = evl(df, Bin("!=", Ident("s"), Ident("t")))
+    assert got_ne == [True, True, True, True]
+
+
+def test_string_plus_concatenates(spark, df):
+    got = evl(df, Bin("+", Ident("s"), Lit("!")))
+    assert got[0] == "a!" and got[2] is None
+
+
+def test_when_first_match_wins(spark, df):
+    e = When(
+        branches=(
+            (Bin(">", Ident("a"), Lit(0)), Lit("pos")),
+            (Bin("<", Ident("a"), Lit(0)), Lit("neg")),
+        ),
+        default=Lit("other"),
+    )
+    assert evl(df, e) == ["pos", "neg", "pos", "other"]
+
+
+def test_unary_not_negate_work(spark, df):
+    # the reference stubs these (runtime.rs:101-105); we implement them
+    assert evl(df, Un("not", Bin(">", Ident("a"), Lit(0)))) == [False, True, False, None]
+    assert evl(df, Un("-", Ident("b"))) == [-2, -2, 2, -2]
+
+
+def test_functions_documented_set(spark, df):
+    assert evl(df, Call("concat", (Ident("s"), Lit("-"), Ident("t")))) == [
+        "a-",
+        "b-x",
+        "-y",
+        "a-",
+    ]
+    assert evl(df, Call("upper", (Ident("s"),)))[0] == "A"
+    assert evl(df, Call("coalesce", (Ident("t"), Lit("z"))))[0] == "z"
+    assert evl(df, Call("trim", (Lit("  pad  "),)))[0] == "pad"
+    assert evl(df, Bin("matches", Ident("s"), Lit("^[ab]$"))) == [True, True, None, True]
+
+
+def test_env_function(spark, df, monkeypatch):
+    monkeypatch.setenv("STRATUM_TEST_ENV", "hello")
+    assert evl(df, Call("env", (Lit("STRATUM_TEST_ENV"),)))[0] == "hello"
+    assert evl(df, Call("env", (Lit("STRATUM_MISSING"), Lit("dflt"))))[0] == "dflt"
+    with pytest.raises(KeyError):
+        compile_expr(Call("env", (Lit("STRATUM_MISSING"),)), df)
+
+
+def test_is_null(spark, df):
+    assert evl(df, IsNull(Ident("t"))) == [True, False, False, True]
+
+
+def test_modulo_sign(spark, df):
+    assert evl(df, Bin("%", Ident("a"), Ident("b"))) == [1, -1, 1, None]
