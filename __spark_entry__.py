@@ -1,38 +1,622 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One queries() entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operator families (dedup, similarity, text analysis,
+multimodal). Each has a DuckDB oracle in oracle_sql() where the semantics
+are ANSI-SQL-expressible; LSH/simhash/mapInPandas ops are rows-only checks.
+
+Conventions for oracle comparability:
+  * every computed/aggregate column aliased identically on both sides
+  * doubles rounded to fixed decimals on both sides
+  * timestamps projected via identical string formats
+  * deterministic tie-breaks on unique id columns wherever order matters
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-join projection with computed tiering (the reference's
+    multi_join_with_column_mappings + when-chain scenarios) on sf0.001."""
+    return _q_multi_join(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.1-2.5)
+# ---------------------------------------------------------------------------
+
+
+def _q_scan_projection(spark, sf):
+    # §2.1 scan + §2.2 projection/pruning: explicit column list over the scan
+    li = _t(spark, sf, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").where(
+        F.col("l_orderkey") < 1000
+    )
+
+
+def _q_filter_pushdown(spark, sf):
+    # §2.2 SQL filter pushdown (compiler/sql.rs) -- Catalyst pushes to parquet
+    o = _t(spark, sf, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+
+
+def _q_null_safe_eq(spark, sf):
+    # §2.3 NULL == NULL -> TRUE semantics (eval/binary.rs:225-239): rows where
+    # nullif(event_type,'click') is null-safe-equal to NULL, i.e. the clicks
+    e = _t(spark, sf, "events")
+    lhs = F.expr("nullif(event_type, 'click')")
+    return e.where(lhs.eqNullSafe(F.lit(None).cast("string"))).select("event_id", "user_id")
+
+
+def _q_in_list(spark, sf):
+    # §2.2 IN-list predicate (generator.rs:73-89)
+    n = _t(spark, sf, "nation")
+    return n.where(F.col("n_name").isin("NATION_1", "NATION_5", "NATION_7")).select(
+        "n_nationkey", "n_name"
+    )
+
+
+def _q_semi_join(spark, sf):
+    # §2.4 FK semi-join scoping (db_reader.rs:224-297): customers having a
+    # big order -- IN (parent keys) recast as left_semi
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = o.where(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("k"))
+    return c.join(big, c.c_custkey == big.k, "left_semi").select("c_custkey", "c_name")
+
+
+def _q_anti_join(spark, sf):
+    # §2.4 key-existence probe (generator.rs:473-481) negated: NOT EXISTS
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = o.where(F.col("o_totalprice") > 400000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _q_multi_join(spark, sf):
+    # §2.4 multi-join + column mappings (integration.rs:377) + when-chain tier
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    tier = (
+        F.when(F.col("o_totalprice") > 200000.0, F.lit("high"))
+        .when(F.col("o_totalprice") > 100000.0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.round("o_totalprice", 2).alias("total"),
+            tier.alias("tier"),
+        )
+    )
+
+
+def _q_left_join_agg(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+def _q_fk_cascade(spark, sf):
+    # §2.4 FK cascade over region -> nation -> customer -> orders, aggregated
+    r, n = _t(spark, sf, "region"), _t(spark, sf, "nation")
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _q_computed_chain(spark, sf):
+    # §2.3 computed-column chains: later exprs see earlier outputs
+    o = _t(spark, sf, "orders")
+    out = o.withColumn("price_k", F.round(F.col("o_totalprice") / 1000.0, 5))
+    out = out.withColumn(
+        "tier",
+        F.when(F.col("price_k") > 200.0, F.lit("high"))
+        .when(F.col("price_k") > 100.0, F.lit("mid"))
+        .otherwise(F.lit("low")),
+    )
+    out = out.withColumn(
+        "label", F.concat_ws("", F.col("tier"), F.lit(":"), F.col("o_orderkey").cast("string"))
+    )
+    return out.select(F.col("o_orderkey").alias("order_id"), "price_k", "tier", "label")
+
+
+def _q_scalar_functions(spark, sf):
+    # §2.3 scalar set incl. the documented-only functions we complete
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.upper(F.col("o_orderpriority")).alias("prio_up"),
+        F.lower(F.col("o_orderstatus")).alias("status_lo"),
+        F.trim(F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" "))).alias("trimmed"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.concat(
+            F.coalesce(F.col("o_orderstatus").cast("string"), F.lit("")),
+            F.lit("-"),
+            F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+        ).alias("concat_ns"),
+    )
+
+
+def _q_int_division(spark, sf):
+    # §2.3 integer '/' truncation (eval/binary.rs:88-96)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey div 7").alias("div7"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    ).where(F.col("l_linenumber") == 1)
+
+
+def _q_validation_estimate(spark, sf):
+    # §2.2 validation estimation: COUNT(*) FILTER / SUM(CASE) (generator.rs:525-570)
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.sum(F.when(~(F.col("l_quantity") <= 45.0), 1).otherwise(0)).alias("failures"),
+        F.count("*").alias("total"),
+    )
+
+
+def _q_keyset_pagination(spark, sf):
+    # §2.5 keyset ORDER BY + LIMIT page (offsets.rs CompositeTsPk strategy)
+    e = _t(spark, sf, "events")
+    cur = e.orderBy("ts", "event_id").limit(50).agg(F.max("ts").alias("m")).collect()[0]["m"]
+    page = (
+        e.where(F.col("ts") > F.lit(cur))
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ets"))
+    )
+    return page
+
+
+def _q_window_lww(spark, sf):
+    # §2.5 the LWW dedup window: latest event per user (row_number desc == 1)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q_window_running(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+def _q_union_distinct(spark, sf):
+    # §2.5 UNION (documented in the reference but absent from its grammar --
+    # we support it)
+    o = _t(spark, sf, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.where(F.col("o_totalprice") > 150000.0).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).dropDuplicates()
+
+
+def _q_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("order_id"),
+            F.round("o_totalprice", 2).alias("price"),
+            "rank",
+        )
+    )
+
+
+def _q_agg_pricing(spark, sf):
+    # TPC-H Q1 shape: the grouped-aggregate workhorse
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_merge_upsert_sim(spark, sf):
+    # the MERGE upsert/delete semantics as a pure relational query (the lake
+    # implementation is exercised by pytest; this is the oracle-checkable form)
+    o = _t(spark, sf, "orders")
+    target = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("tprice")
+    )
+    source = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + 1000.0).alias("sprice"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    j = target.join(source, "k", "full_outer")
+    merged = j.where(
+        (F.col("sprice").isNull()) | (F.col("op") != "D")
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.round(F.coalesce(F.col("sprice"), F.col("tprice")), 2).alias("price"),
+        F.when(F.col("sprice").isNull(), F.lit("kept"))
+        .when(F.col("tprice").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf):
+    from stratum_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_dedup_ngram(spark, sf):
+    from stratum_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, tau=0.12)
+
+
+def _q_dedup_minhash(spark, sf):
+    from stratum_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), n=3, k=32, bands=8, tau=0.12)
+
+
+def _q_dedup_simhash(spark, sf):
+    from stratum_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def _q_dedup_embedding(spark, sf):
+    from stratum_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), tau=0.42)
+
+
+def _q_ann_bruteforce(spark, sf):
+    from stratum_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf, "embeddings"), n_queries=8, k=5)
+
+
+def _q_ann_lsh(spark, sf):
+    from stratum_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf, "embeddings"), n_queries=8, k=5)
+
+
+def _q_text_tokens(spark, sf):
+    from stratum_spark.operators.textops import token_counts
+
+    return token_counts(_t(spark, sf, "documents"))
+
+
+def _q_text_quality(spark, sf):
+    from stratum_spark.operators.textops import quality_scores
+
+    return quality_scores(_t(spark, sf, "documents"))
+
+
+def _q_text_langid(spark, sf):
+    from stratum_spark.operators.textops import language_id
+
+    return language_id(_t(spark, sf, "documents"))
+
+
+def _q_text_fingerprint(spark, sf):
+    from stratum_spark.operators.textops import fingerprints
+
+    return fingerprints(_t(spark, sf, "documents"))
+
+
+def _q_multimodal_features(spark, sf):
+    from stratum_spark.operators.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(_t(spark, sf, "documents")))
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 2), 4).alias("mean_byte")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_projection": _q_scan_projection,
+        "filter_pushdown": _q_filter_pushdown,
+        "null_safe_eq": _q_null_safe_eq,
+        "in_list": _q_in_list,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "multi_join": _q_multi_join,
+        "left_join_agg": _q_left_join_agg,
+        "fk_cascade": _q_fk_cascade,
+        "computed_chain": _q_computed_chain,
+        "scalar_functions": _q_scalar_functions,
+        "int_division": _q_int_division,
+        "validation_estimate": _q_validation_estimate,
+        "keyset_pagination": _q_keyset_pagination,
+        "window_lww": _q_window_lww,
+        "window_running": _q_window_running,
+        "union_distinct": _q_union_distinct,
+        "topk_per_group": _q_topk_per_group,
+        "agg_pricing": _q_agg_pricing,
+        "merge_upsert_sim": _q_merge_upsert_sim,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_topk_bruteforce": _q_ann_bruteforce,
+        "ann_topk_lsh": _q_ann_lsh,
+        "text_token_counts": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_language_id": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "['the','and','of','to','a']"
+_STOP_DE = "['der','und','die','das','ein']"
+_STOP_FR = "['le','et','les','des','une']"
+_STOP_ES = "['el','y','los','las','una']"
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_projection": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 1000"
+        ),
+        "filter_pushdown": (
+            "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders "
+            "WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0"
+        ),
+        "null_safe_eq": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE nullif(event_type, 'click') IS NOT DISTINCT FROM NULL"
+        ),
+        "in_list": (
+            "SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_name IN ('NATION_1','NATION_5','NATION_7')"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"
+        ),
+        "multi_join": (
+            "SELECT o_orderkey AS order_id, c_name AS customer_name, n_name AS nation_name, "
+            "r_name AS region_name, round(o_totalprice, 2) AS total, "
+            "CASE WHEN o_totalprice > 200000.0 THEN 'high' "
+            "WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS tier "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "left_join_agg": (
+            "SELECT c_custkey, count(o_orderkey) AS n_orders, "
+            "round(coalesce(sum(o_totalprice), 0.0), 2) AS spend "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+        ),
+        "fk_cascade": (
+            "SELECT r_name AS region_name, count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "computed_chain": (
+            "WITH s AS (SELECT o_orderkey, round(o_totalprice / 1000.0, 5) AS price_k FROM orders), "
+            "t AS (SELECT o_orderkey, price_k, CASE WHEN price_k > 200.0 THEN 'high' "
+            "WHEN price_k > 100.0 THEN 'mid' ELSE 'low' END AS tier FROM s) "
+            "SELECT o_orderkey AS order_id, price_k, tier, "
+            "tier || ':' || CAST(o_orderkey AS VARCHAR) AS label FROM t"
+        ),
+        "scalar_functions": (
+            "SELECT o_orderkey AS order_id, upper(o_orderpriority) AS prio_up, "
+            "lower(o_orderstatus) AS status_lo, "
+            "trim('  ' || o_orderpriority || ' ') AS trimmed, "
+            "year(o_orderdate) AS yr, month(o_orderdate) AS mon, quarter(o_orderdate) AS qtr, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS od, "
+            "coalesce(CAST(o_orderstatus AS VARCHAR), '') || '-' || "
+            "coalesce(CAST(o_orderkey AS VARCHAR), '') AS concat_ns "
+            "FROM orders"
+        ),
+        "int_division": (
+            "SELECT l_orderkey, l_linenumber, l_orderkey // 7 AS div7, "
+            "l_orderkey % 7 AS mod7 FROM lineitem WHERE l_linenumber = 1"
+        ),
+        "validation_estimate": (
+            "SELECT sum(CASE WHEN NOT (l_quantity <= 45.0) THEN 1 ELSE 0 END) AS failures, "
+            "count(*) AS total FROM lineitem"
+        ),
+        "keyset_pagination": (
+            "WITH cur AS (SELECT max(ts) AS m FROM "
+            "(SELECT ts FROM events ORDER BY ts, event_id LIMIT 50)) "
+            "SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ets "
+            "FROM events, cur WHERE ts > cur.m ORDER BY ts, event_id LIMIT 100"
+        ),
+        "window_lww": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "window_running": (
+            "SELECT user_id, event_id, round(sum(value) OVER ("
+            "PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value FROM events"
+        ),
+        "union_distinct": (
+            "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' "
+            "UNION SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 150000.0"
+        ),
+        "topk_per_group": (
+            "SELECT o_orderpriority AS priority, o_orderkey AS order_id, "
+            "round(o_totalprice, 2) AS price, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) WHERE rank <= 3"
+        ),
+        "agg_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "merge_upsert_sim": (
+            "WITH target AS (SELECT o_orderkey AS k, o_totalprice AS tprice FROM orders "
+            "WHERE o_orderkey % 3 = 0), "
+            "source AS (SELECT o_orderkey AS k, o_totalprice + 1000.0 AS sprice, "
+            "CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders "
+            "WHERE o_orderkey % 2 = 0), "
+            "j AS (SELECT coalesce(t.k, s.k) AS k, t.tprice, s.sprice, s.op "
+            "FROM target t FULL OUTER JOIN source s ON t.k = s.k) "
+            "SELECT k AS o_orderkey, round(coalesce(sprice, tprice), 2) AS price, "
+            "CASE WHEN sprice IS NULL THEN 'kept' WHEN tprice IS NULL THEN 'inserted' "
+            "ELSE 'updated' END AS action FROM j WHERE sprice IS NULL OR op <> 'D'"
+        ),
+        "dedup_exact": (
+            f"SELECT md5({_NORM_TEXT}) AS text_hash, min(doc_id) AS keeper_id, "
+            "count(*) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS gs "
+            "FROM toks), "
+            "inv AS (SELECT doc_id, len(gs) AS n_sh, unnest(gs) AS g FROM sh), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
+            "count(*) AS common FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2, 3, 4) "
+            "SELECT doc_a, doc_b, round(common * 1.0 / (na + nb - common), 4) AS jaccard "
+            "FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.12"
+        ),
+        "dedup_embedding_cosine": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42"
+        ),
+        "ann_topk_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), "
+            "sims AS (SELECT query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim "
+            "FROM q JOIN embeddings e ON e.vec_id <> q.query_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, neighbor_id) AS rank FROM sims) "
+            "SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5"
+        ),
+        "text_token_counts": (
+            "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens, "
+            "len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens, "
+            "length(text) AS n_chars_m FROM documents"
+        ),
+        "text_quality": (
+            "WITH b AS (SELECT doc_id, length(text) AS n_chars, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
+            "length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum, "
+            f"len(list_intersect(regexp_split_to_array(trim(text), '\\s+'), {_STOP_EN})) AS stop_hits "
+            "FROM documents) "
+            "SELECT doc_id, n_chars AS q_chars, n_tok AS q_tokens, "
+            "round((n_chars - n_alnum - (n_tok - 1)) * 1.0 / n_chars, 4) AS punct_ratio, "
+            "round(stop_hits * 1.0 / n_tok, 4) AS stop_ratio, "
+            "round(n_alnum * 1.0 / n_tok, 4) AS mean_word_len, "
+            "round((CASE WHEN n_tok >= 10 THEN 0.4 ELSE 0.0 END) + "
+            "(CASE WHEN n_alnum * 1.0 / n_tok BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END) + "
+            "(CASE WHEN (n_chars - n_alnum - (n_tok - 1)) * 1.0 / n_chars <= 0.2 THEN 0.2 ELSE 0.0 END) + "
+            "(CASE WHEN stop_hits > 0 THEN 0.1 ELSE 0.0 END), 2) AS quality FROM b"
+        ),
+        "text_language_id": (
+            "WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents), "
+            f"h AS (SELECT doc_id, lang, len(list_intersect(toks, {_STOP_EN})) AS hits_en, "
+            f"len(list_intersect(toks, {_STOP_DE})) AS hits_de, "
+            f"len(list_intersect(toks, {_STOP_FR})) AS hits_fr, "
+            f"len(list_intersect(toks, {_STOP_ES})) AS hits_es FROM t) "
+            "SELECT doc_id, lang AS label_lang, "
+            "CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und' "
+            "WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en' "
+            "WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de' "
+            "WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr' "
+            "ELSE 'es' END AS guessed_lang, hits_en, hits_de, hits_fr, hits_es FROM h"
+        ),
+        "text_fingerprint": (
+            f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"
+        ),
+        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, multimodal_features:
+        # intentionally omitted -- hash-seeded LSH banding and Arrow-batched
+        # python kernels are not ANSI-SQL-expressible; driver records the
+        # weaker rows-only check, and tests/test_operators.py validates their
+        # semantics against exact ground truth in-suite.
+    }

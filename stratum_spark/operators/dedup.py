@@ -1,0 +1,212 @@
+"""Deduplication family over the documents table.
+
+Scale notes (the 100 TB design):
+  * exact: hash-groupBy -- partial aggregation map-side, one shuffle of
+    (hash, min_id, count); identical asymptotics at any scale.
+  * minhash LSH: shingle -> k minhashes -> b bands; candidate generation is
+    a self-join ON the band key, so only same-bucket pairs materialize --
+    the blow-up knob is (b, r), not table size. Signatures are pure
+    Column exprs (nested transform/array_min over xxhash64 streams).
+  * simhash: 64-bit signature via bitwise majority over token hashes; near-
+    dup candidates blocked on 16-bit sub-bands (Hamming<=3 within a
+    64/16 split can't miss by pigeonhole when <=3 of 4 bands differ).
+  * n-gram jaccard: exact verification joins candidates only.
+  * embedding cosine: see similarity.py.
+
+All hashing is xxhash64 (JVM built-in) except where the DuckDB oracle
+needs engine-agreement (md5 there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical normalized texts; keeper = min doc_id per group."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.05) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle sets, via an
+    inverted-index self-join (pairs only materialize when they share a
+    shingle). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = docs.select(
+        F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.where(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k minhashes: sig[i] = min over shingles of xxhash64(shingle, i)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, k: int = 32, bands: int = 8, tau: float = 0.3
+) -> DataFrame:
+    """Near-dup candidates via banded MinHash LSH, verified with exact
+    Jaccard (the standard shingle->minhash->band->bucket-join pipeline).
+    Returns (doc_a, doc_b, jaccard) for verified candidates."""
+    r = k // bands
+    sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles"))
+    sh = sh.where(F.size("shingles") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), bi * r + 1, r))).alias(
+                        "bh"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    jac = inter.cast("double") / union
+    return cand.where(jac >= tau).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: bit i set iff the majority of token-hash bits i are 1.
+    Pure Column expression: per-bit vote via aggregate over the token array."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                ),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda b, i: F.call_function("shiftleft", b, i.cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on the
+    four 16-bit sub-bands (a pair within distance 3 must agree on >= 1 band)."""
+    sh = docs.select(F.col("doc_id"), simhash64(F.col("text")).alias("sh"))
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.call_function("shiftright", F.col("sh"), i.cast("int") * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("ha"),
+            F.col("b.sh").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))

@@ -1,0 +1,115 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata,
+processed by Arrow-batched pandas functions over mapInPandas.
+
+The image/audio decode libraries are not in this container, so the decode
+kernels are STUBBED behind try-imports with a deterministic fake feature
+extractor -- but the Spark-side plumbing is real and tested: schema
+(binary + struct metadata), batch iteration shape, partition-preserving
+mapInPandas, and the UDF signatures a real decoder would slot into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from documents: payload = utf8
+    bytes of the text (an opaque blob as far as the pipeline cares)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            (F.pmod(F.col("doc_id"), F.lit(640)) + 1).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(480)) + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.col("doc_id"), F.lit(90)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    try:  # pragma: no cover - library absent in this container
+        from PIL import Image  # noqa: F401
+
+        raise NotImplementedError("real image decode not wired yet")
+    except ImportError:
+        # deterministic fake: 4 moments of the byte stream
+        if payload is None or len(payload) == 0:
+            return [0.0, 0.0, 0.0, 0.0]
+        n = float(len(payload))
+        s = float(sum(payload))
+        mx, mn = float(max(payload)), float(min(payload))
+        return [n, round(s / n, 4), mx, mn]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, Arrow batches out;
+    one pandas call per batch (never per row). The stub kernel is
+    deterministic so the operator is testable end-to-end."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: explode sampled frame indexes from
+    metadata (decode stubbed; index math is the real, tested part)."""
+    frames = F.filter(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1),
+        lambda i: i % every_n == 0,
+    )
+    return media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(frames).alias("frame_idx"),
+    )

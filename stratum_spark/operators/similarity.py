@@ -1,0 +1,173 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+* cosine/dot products are Column expressions (zip_with + aggregate),
+  JVM-side -- no Python in the hot path.
+* brute-force top-k: query set broadcast against the corpus; at 100 TB
+  corpus the scan is embarrassingly parallel and the per-partition top-k
+  is cut by the row_number window AFTER a partial sort -- for large k use
+  the LSH variant.
+* LSH (random-hyperplane signs) bucketing: deterministic pseudo-random
+  hyperplanes derived from xxhash64(plane, dim) so the operator is a pure
+  function of its inputs (no RNG state); candidates only within matching
+  sign-buckets -- the scale path (bucket join instead of cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _dbl(a), _dbl(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k: the first n_queries ids (by id order) are the
+    query set, searched against all OTHER vectors. Deterministic tie-break
+    (sim desc, neighbor id asc). Returns (query_id, neighbor_id, sim, rank)."""
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bucket id in [0, 2^n_planes): bit p = [sum_d v[d]*h(p,d) > 0]
+    with h(p,d) = deterministic pseudo-random weight in [-1, 1]."""
+    v = _dbl(vec)
+
+    def plane_dot(p: Column) -> Column:
+        weighted = F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, d: x
+            * ((F.xxhash64(p, d, F.lit(seed)) % 2001).cast("double") / 1000.0),
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.call_function("shiftleft", F.lit(1).cast("long"), p.cast("int"))).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH
+    (OR-amplification: candidate if the pair collides in ANY of n_tables
+    independent sign-bucket tables), exact cosine within candidates.
+    The 100 TB path: shuffle keyed on (table, bucket) instead of a cross
+    product; recall tuned by (n_planes, n_tables)."""
+    sigd = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
+    ).withColumn(
+        # per-table independent planes: table id folded into the hash stream
+        "bucket",
+        _table_signature(F.col("v"), F.col("tbl"), n_planes, seed),
+    )
+    q = sigd.where(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("tbl").alias("qt"), F.col("bucket").alias("qb"),
+    )
+    c = sigd.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "tbl", "bucket")
+    cand = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qt") == F.col("tbl"))
+            & (F.col("qb") == F.col("bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _table_signature(v: Column, tbl: Column, n_planes: int, seed: int) -> Column:
+    """Sign signature with planes keyed by (table, plane, dim)."""
+    vd = _dbl(v)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vd,
+                    F.sequence(F.lit(0), F.size(vd) - 1),
+                    lambda x, d: x
+                    * ((F.xxhash64(tbl, p, d, F.lit(seed)) % 2001).cast("double") / 1000.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), p.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc-level near-dup family).
+    Brute force at test scale; the LSH bucket variant is the scale path."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .where(F.col("sim") >= tau)
+    )

@@ -1,0 +1,133 @@
+"""Training-data operator tests: dedup families, similarity, text analysis,
+multimodal plumbing -- determinism + semantic properties (LSH recall vs
+exact ground truth) at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stratum_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dedup.exact_dedup(docs)
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+    # with a planted duplicate the group collapses
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out2 = dedup.exact_dedup(docs.unionByName(dup))
+    two = out2.where(F.col("n_copies") == 2).collect()
+    assert len(two) == 1 and two[0]["keeper_id"] < 1_000_000
+
+
+def test_ngram_jaccard_pairs_symmetric_planted(spark, docs):
+    planted = docs.limit(1).withColumn("doc_id", F.lit(777_777))
+    out = dedup.ngram_jaccard_pairs(docs.unionByName(planted), n=3, tau=0.9)
+    hits = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    first_id = docs.orderBy("doc_id").first()["doc_id"]
+    assert hits.get((first_id, 777_777)) == 1.0
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, docs):
+    # plant a near-duplicate: same text with a few words changed
+    base = docs.orderBy("doc_id").limit(1)
+    near = base.select(
+        F.lit(888_888).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words here")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    out = dedup.minhash_lsh_pairs(docs.unionByName(near), n=3, k=32, bands=8, tau=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    first_id = base.first()["doc_id"]
+    assert (first_id, 888_888) in pairs
+
+
+def test_simhash_properties(spark, docs):
+    sh = docs.select(F.col("doc_id"), dedup.simhash64(F.col("text")).alias("h"))
+    # deterministic
+    a = {r["doc_id"]: r["h"] for r in sh.collect()}
+    b = {r["doc_id"]: r["h"] for r in sh.collect()}
+    assert a == b
+    # identical text -> identical simhash -> hamming 0 pair found
+    planted = docs.limit(1).withColumn("doc_id", F.lit(999_999))
+    out = dedup.simhash_pairs(docs.unionByName(planted), max_hamming=3)
+    first_id = docs.orderBy("doc_id").first()["doc_id"]
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((first_id, 999_999)) == 0
+
+
+def test_brute_force_topk_shape_and_determinism(spark, emb):
+    out = similarity.brute_force_topk(emb, n_queries=4, k=5).collect()
+    assert len(out) == 20
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n != q for _, n, _ in rows)
+
+
+def test_lsh_topk_recall_vs_exact(spark, emb):
+    exact = similarity.brute_force_topk(emb, n_queries=8, k=5)
+    approx = similarity.lsh_topk(emb, n_queries=8, k=5, n_planes=4, n_tables=16)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"  # 16 tables x 4 planes
+
+
+def test_embedding_neardup_self_planted(spark, emb):
+    planted = emb.limit(1).withColumn("vec_id", F.lit(555_555))
+    out = similarity.embedding_neardup_pairs(emb.unionByName(planted), tau=0.999)
+    ids = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    first = emb.orderBy("vec_id").first()["vec_id"]
+    assert (first, 555_555) in ids
+
+
+def test_textops(spark, docs):
+    tc = textops.token_counts(docs)
+    row = tc.first()
+    assert row["n_ws_tokens"] > 0 and row["n_re_tokens"] >= row["n_ws_tokens"] - 1
+
+    q = textops.quality_scores(docs)
+    assert q.where(F.col("quality") < 0).count() == 0
+    assert q.where(F.col("quality") > 1).count() == 0
+
+    lid = textops.language_id(docs)
+    # the synthetic corpus is English word soup: 'the' dominates
+    en = lid.where(F.col("guessed_lang") == "en").count()
+    assert en > docs.count() * 0.5
+
+    fp = textops.fingerprints(docs)
+    assert fp.select("fingerprint").distinct().count() == docs.count()
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synth_media(docs)
+    feats = multimodal.extract_features(media)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == docs.count()
+    sample = docs.orderBy("doc_id").first()
+    f0 = got[sample["doc_id"]]
+    assert f0["n_bytes"] == len(sample["text"].encode())
+    assert f0["feature"][0] == float(f0["n_bytes"])
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert all(got[k]["feature"] == again[k] for k in got)
+
+    frames = multimodal.frame_sample(media, every_n=10)
+    vid = media.where(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vid
+    assert frames.where(F.col("frame_idx") % 10 != 0).count() == 0
