@@ -63,6 +63,12 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
         t0 = time.time()
         stats = ap.run_backfill(binlog_dir, epoch_size=max(10_000, n_events // 4))
         wall = time.time() - t0
+        for s in stats:
+            print(
+                f"# epoch={s.epoch} wall_ms={s.wall_ms} rows={s.rows_in} "
+                f"merge_ms={s.merge.wall_ms if s.merge else -1}",
+                file=sys.stderr,
+            )
         rows_in = sum(s.rows_in for s in stats)
         print(
             json.dumps(

@@ -75,7 +75,9 @@ class CdcApplier:
         evolution: list[dict] | None = None,
         n_events_hint: int | None = None,
         validate: bool = True,
+        lineage_detail: bool = True,
     ):
+        self.lineage_detail = lineage_detail
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         self.job_id = job_id
@@ -140,41 +142,63 @@ class CdcApplier:
         if epoch <= self.tokens.committed_epoch(self.job_id):
             return EpochStats(epoch=epoch, skipped=True)
 
-        # -- schema evolution scripted inside this epoch's lsn range ----
-        max_ver_row = events.agg(
-            F.max("schema_ver").alias("v"), F.max("lsn").alias("lsn_max"), F.count("*").alias("n")
-        ).collect()[0]
-        if max_ver_row["n"] == 0:
-            return EpochStats(epoch=epoch, skipped=True)
-        if max_ver_row["v"] is not None and self.evolution:
-            self._evolve_to(int(max_ver_row["v"]))
-        rows_in = int(max_ver_row["n"])
-        lsn_max = int(max_ver_row["lsn_max"])
+        bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
 
-        # -- validation split ------------------------------------------
-        bad_pred = (
-            (F.col("op") != "D")
-            & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
-        )
-        if self.validate:
-            bad = events.where(bad_pred)
-            good = events.where(~bad_pred)
-            dlq_rows = bad.select(
-                F.col("lsn"),
-                F.col("doc_id"),
-                F.lit("n_tok_mismatch").alias("rule"),
-                F.format_string(
-                    "n_tok=%s != size(tokens)=%s", F.col("n_tok"), F.size("tokens")
-                ).alias("message"),
-                F.to_json(F.struct("lsn", "op", "doc_id", "n_tok", "schema_ver")).alias(
-                    "payload"
-                ),
-                F.current_timestamp().alias("failed_at"),
-            )
-            n_dlq = self.dlq.append(dlq_rows)
-        else:
-            good = events
-            n_dlq = 0
+        # cache the epoch slice: every downstream pass (pre-agg, DLQ split,
+        # dedup+merge, lineage) reuses it instead of re-reading the feed
+        events = events.persist()
+        try:
+            # -- one combined pre-aggregation pass -----------------------
+            pre = events.agg(
+                F.max("schema_ver").alias("v"),
+                F.max("lsn").alias("lsn_max"),
+                F.count("*").alias("n"),
+                F.sum(bad_pred.cast("long")).alias("n_bad"),
+            ).collect()[0]
+            if pre["n"] == 0:
+                return EpochStats(epoch=epoch, skipped=True)
+            if pre["v"] is not None and self.evolution:
+                self._evolve_to(int(pre["v"]))
+            rows_in = int(pre["n"])
+            lsn_max = int(pre["lsn_max"])
+            n_bad = int(pre["n_bad"] or 0)
+
+            # -- validation split (DLQ write only when failures exist) ---
+            if self.validate and n_bad > 0:
+                dlq_rows = events.where(bad_pred).select(
+                    F.col("lsn"),
+                    F.col("doc_id"),
+                    F.lit("n_tok_mismatch").alias("rule"),
+                    F.format_string(
+                        "n_tok=%s != size(tokens)=%s", F.col("n_tok"), F.size("tokens")
+                    ).alias("message"),
+                    F.to_json(F.struct("lsn", "op", "doc_id", "n_tok", "schema_ver")).alias(
+                        "payload"
+                    ),
+                    F.current_timestamp().alias("failed_at"),
+                )
+                n_dlq = self.dlq.append(dlq_rows)
+                good = events.where(~bad_pred)
+            elif self.validate:
+                n_dlq = 0
+                good = events.where(~bad_pred)
+            else:
+                good = events
+                n_dlq = 0
+            return self._apply_good(events, good, epoch, rows_in, lsn_max, n_dlq, t0)
+        finally:
+            events.unpersist()
+
+    def _apply_good(
+        self,
+        events: DataFrame,
+        good: DataFrame,
+        epoch: int,
+        rows_in: int,
+        lsn_max: int,
+        n_dlq: int,
+        t0: float,
+    ) -> EpochStats:
 
         # -- schema_ver -> current-columns mapping ----------------------
         src_name = self._source_col_name()
@@ -192,62 +216,77 @@ class CdcApplier:
         if "__drop_lang" in mapped.columns:
             mapped = mapped.drop("__drop_lang")
 
-        # -- LWW dedup + MERGE -----------------------------------------
+        # -- LWW dedup + MERGE (deduped batch cached: merge consumes it
+        # twice -- touched-bucket discovery + the join). Batches much larger
+        # than the bucket count certainly touch every bucket; skip the
+        # discovery job for those.
+        n_buckets = self.tokens.snapshot().n_buckets
+        all_buckets = rows_in >= n_buckets * 64
         deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
-        mstats = self.tokens.merge(
-            deduped,
-            op_col="op",
-            job_id=self.job_id,
-            epoch=epoch,
-            lsn_max=lsn_max,
-            precedence_col="lsn",
-        )
+        if not all_buckets:
+            deduped = deduped.persist()
+        try:
+            mstats = self.tokens.merge(
+                deduped,
+                op_col="op",
+                job_id=self.job_id,
+                epoch=epoch,
+                lsn_max=lsn_max,
+                precedence_col="lsn",
+                assume_all_buckets=all_buckets,
+            )
+        finally:
+            if not all_buckets:
+                deduped.unpersist()
 
-        # -- lineage ----------------------------------------------------
+        # -- lineage (driver-side append: a handful of rows per epoch) ---
         wall_ms = int((time.time() - t0) * 1000)
         batch_id = f"{self.job_id}-{epoch:08d}"
-        part_lineage = events.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.min("lsn").alias("lsn_min"),
-            F.max("lsn").alias("lsn_max"),
-            F.count("*").alias("rows_in"),
-        ).select(
-            F.lit(batch_id).alias("batch_id"),
-            F.lit(epoch).cast("bigint").alias("epoch"),
-            F.col("partition_id"),
-            "lsn_min",
-            "lsn_max",
-            "rows_in",
-            F.lit(None).cast("bigint").alias("rows_deduped"),
-            F.lit(None).cast("bigint").alias("rows_inserted"),
-            F.lit(None).cast("bigint").alias("rows_updated"),
-            F.lit(None).cast("bigint").alias("rows_deleted"),
-            F.lit(None).cast("bigint").alias("rows_dlq"),
-            F.lit(None).cast("bigint").alias("wall_ms"),
-            F.current_timestamp().alias("committed_at"),
-        )
-        n_applied = mstats.rows_inserted + mstats.rows_updated + mstats.rows_deleted
-        summary = self.spark.createDataFrame(
-            [
-                (
-                    batch_id,
-                    epoch,
-                    -1,
-                    None,
-                    lsn_max,
-                    rows_in,
-                    n_applied,
-                    mstats.rows_inserted,
-                    mstats.rows_updated,
-                    mstats.rows_deleted,
-                    n_dlq,
-                    wall_ms,
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        lineage_rows: list[dict] = []
+        if self.lineage_detail:
+            parts = (
+                events.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.min("lsn").alias("lsn_min"),
+                    F.max("lsn").alias("lsn_max"),
+                    F.count("*").alias("rows_in"),
                 )
-            ],
-            "batch_id string, epoch bigint, partition_id int, lsn_min bigint, lsn_max bigint, "
-            "rows_in bigint, rows_deduped bigint, rows_inserted bigint, rows_updated bigint, "
-            "rows_deleted bigint, rows_dlq bigint, wall_ms bigint",
-        ).withColumn("committed_at", F.current_timestamp())
-        self.lineage.append(part_lineage.unionByName(summary))
+                .collect()
+            )
+            for p in parts:
+                lineage_rows.append(
+                    {
+                        "batch_id": batch_id,
+                        "epoch": epoch,
+                        "partition_id": int(p["partition_id"]),
+                        "lsn_min": int(p["lsn_min"]),
+                        "lsn_max": int(p["lsn_max"]),
+                        "rows_in": int(p["rows_in"]),
+                        "committed_at": now,
+                    }
+                )
+        n_applied = mstats.rows_inserted + mstats.rows_updated + mstats.rows_deleted
+        lineage_rows.append(
+            {
+                "batch_id": batch_id,
+                "epoch": epoch,
+                "partition_id": -1,
+                "lsn_min": None,
+                "lsn_max": lsn_max,
+                "rows_in": rows_in,
+                "rows_deduped": n_applied,
+                "rows_inserted": mstats.rows_inserted,
+                "rows_updated": mstats.rows_updated,
+                "rows_deleted": mstats.rows_deleted,
+                "rows_dlq": n_dlq,
+                "wall_ms": wall_ms,
+                "committed_at": now,
+            }
+        )
+        self.lineage.append_local(lineage_rows)
 
         return EpochStats(
             epoch=epoch,

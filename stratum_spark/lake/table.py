@@ -4,7 +4,8 @@ Storage layout (all files immutable once written):
 
     <root>/_meta/v0000000001.json      snapshot (atomic O_EXCL create)
     <root>/_meta/_latest               pointer, atomic os.replace
-    <root>/data/<commit-uuid>/_bucket=<b>/part-*.parquet
+    <root>/data/<commit-uuid>/part-NNNNN-*.parquet   (flat; bucket set per
+                                                      file tracked in metadata)
 
 A snapshot records the schema history (field-id based, lake/schema.py),
 the live data files per hash bucket, and the per-job committed-epoch map
@@ -17,9 +18,10 @@ Scale design (the 100 TB story -- tested here at sandbox scale):
     ONLY buckets touched by the batch -- a micro-batch touching k buckets
     costs O(k * bucket_size) IO regardless of table size, the same
     asymptotics as Iceberg copy-on-write MERGE with bucket partitioning.
-  * The bucket column is a physical partition dir, so the rewrite is an
-    ordinary partitioned parquet write; shuffle is one hash exchange on
-    (_bucket) of (touched target rows + batch rows).
+  * Data files are flat parquet; each commit shuffles once on (_bucket)
+    and metadata records the bucket set per file (see FileEntry), so
+    bucket pruning needs no directory layout and writes never pay the
+    dynamic-partition (per-dir writer + sort) tax.
   * Merge-batch inputs are pre-deduped to one row per key (LWW upstream,
     cdc/dedup.py), so the full-outer join has no key skew by construction.
   * All metadata ops (schema add/rename/widen, epoch bookkeeping) are
@@ -57,17 +59,36 @@ class CommitConflict(RuntimeError):
 
 @dataclass(frozen=True)
 class FileEntry:
+    """One immutable data file covering a known set of hash buckets.
+
+    Files are written FLAT (no Hive-style partition dirs -- dynamic
+    partition writes sort + open a writer per directory and were measured
+    ~6x slower than flat writes). Instead each commit repartitions rows by
+    the bucket column into a fixed task count; the bucket->task assignment
+    is Spark's HashPartitioning (pmod(murmur3(bucket), nparts)), which we
+    replicate to know exactly which buckets each part-file can contain.
+    Bucket pruning then selects files whose bucket set intersects the
+    touched set."""
+
     path: str  # relative to table root
-    bucket: int
+    buckets: tuple[int, ...]
     schema_id: int
     rows: int
 
     def to_json(self) -> dict:
-        return {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id, "rows": self.rows}
+        return {
+            "path": self.path,
+            "buckets": list(self.buckets),
+            "schema_id": self.schema_id,
+            "rows": self.rows,
+        }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["bucket"], d["schema_id"], d["rows"])
+        buckets = d.get("buckets")
+        if buckets is None and "bucket" in d:  # legacy single-bucket entries
+            buckets = [d["bucket"]]
+        return FileEntry(d["path"], tuple(buckets), d["schema_id"], d["rows"])
 
 
 @dataclass(frozen=True)
@@ -279,7 +300,7 @@ class LakeTable:
     def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
         bs = set(buckets)
-        return self._read_entries([e for e in snap.files if e.bucket in bs], snap)
+        return self._read_entries([e for e in snap.files if bs.intersection(e.buckets)], snap)
 
     # ------------------------------------------------------------------
     # write path
@@ -304,39 +325,116 @@ class LakeTable:
         cols += [F.col(p) for p in passthrough if p.lower() in in_cols]
         return df.select(*cols)
 
+    def _part_to_buckets(self, n_buckets: int, nparts: int) -> dict[int, tuple[int, ...]]:
+        """Replicate Spark's HashPartitioning of the int bucket column:
+        part(b) = nonNegativeMod(murmur3(b), nparts) == pmod(hash(b), nparts).
+        Computed once per (n_buckets, nparts) with a 1-task Spark job."""
+        key = (n_buckets, nparts)
+        cache = getattr(self, "_p2b_cache", None)
+        if cache is None:
+            cache = self._p2b_cache = {}
+        if key not in cache:
+            rows = (
+                self.spark.range(n_buckets)
+                .select(
+                    F.col("id").cast("int").alias("b"),
+                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(nparts)).alias("p"),
+                )
+                .collect()
+            )
+            m: dict[int, list[int]] = {}
+            for r in rows:
+                m.setdefault(int(r["p"]), []).append(int(r["b"]))
+            cache[key] = {p: tuple(sorted(bs)) for p, bs in m.items()}
+        return cache[key]
+
     def _write_data(self, df: DataFrame, snap: Snapshot) -> list[FileEntry]:
-        """Write df (current-schema cols + _bucket) partitioned by bucket under
-        a fresh commit dir; return the file entries. Repartition on _bucket so
-        each task writes whole buckets (no tiny-file explosion)."""
+        """Write df (current-schema cols + _bucket) as FLAT parquet under a
+        fresh commit dir, repartitioned on _bucket so each task holds whole
+        buckets; the part-file index identifies the bucket set."""
         commit_id = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA, commit_id)
         out_dir = os.path.join(self.root, rel_dir)
-        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        nparts = max(
+            1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")), snap.n_buckets)
+        )
         (
             df.repartition(nparts, F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
-            .mode("error")
+            .drop(_BUCKET)
+            .write.mode("error")
             .parquet(out_dir)
         )
-        entries: list[FileEntry] = []
         if not os.path.isdir(out_dir):
-            return entries
-        for bdir in os.listdir(out_dir):
-            if not bdir.startswith(f"{_BUCKET}="):
-                continue
-            b = int(bdir.split("=", 1)[1])
-            for fn in os.listdir(os.path.join(out_dir, bdir)):
-                if fn.endswith(".parquet"):
-                    full = os.path.join(out_dir, bdir, fn)
-                    entries.append(
-                        FileEntry(
-                            path=os.path.join(rel_dir, bdir, fn),
-                            bucket=b,
-                            schema_id=snap.schema_id,
-                            rows=_parquet_rows(full),
-                        )
-                    )
-        return entries
+            return []
+        p2b = self._part_to_buckets(snap.n_buckets, nparts)
+        todo: list[tuple[str, int, str]] = []
+        for fn in os.listdir(out_dir):
+            if fn.endswith(".parquet") and fn.startswith("part-"):
+                split = int(fn.split("-")[1])
+                todo.append((os.path.join(rel_dir, fn), split, os.path.join(out_dir, fn)))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            rows = list(ex.map(lambda t: _parquet_rows(t[2]), todo))
+        return [
+            FileEntry(
+                path=rel,
+                buckets=p2b.get(split, ()),
+                schema_id=snap.schema_id,
+                rows=r,
+            )
+            for (rel, split, _), r in zip(todo, rows)
+            if r > 0
+        ]
+
+    def append_local(self, rows: list[dict]) -> int:
+        """Driver-side append of a SMALL row batch (lineage/metrics rows)
+        via pyarrow -- no Spark job. Same snapshot semantics as append()."""
+        if not rows:
+            return 0
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        schema = snap.schema
+        commit_id = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join(_DATA, commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+        os.makedirs(out_dir)
+        arrays, names = [], []
+        spark_to_pa = {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "double": pa.float64(),
+            "timestamp": pa.timestamp("us"),
+        }
+        for f in schema.fields:
+            names.append(f.name)
+            pa_type = spark_to_pa.get(f.type)
+            vals = [r.get(f.name) for r in rows]
+            arrays.append(pa.array(vals, type=pa_type))
+        path = os.path.join(out_dir, "part-00000-local.parquet")
+        pq.write_table(pa.table(dict(zip(names, arrays))), path)
+        entry = FileEntry(
+            path=os.path.join(rel_dir, "part-00000-local.parquet"),
+            buckets=(0,),
+            schema_id=snap.schema_id,
+            rows=len(rows),
+        )
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=snap.files + [entry],
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return len(rows)
 
     def append(self, df: DataFrame) -> int:
         """Insert write-mode (stratum WriteMode::Insert,
@@ -402,6 +500,7 @@ class LakeTable:
         lsn_max: int | None = None,
         mode: str = "upsert",
         precedence_col: str | None = None,
+        assume_all_buckets: bool = False,
     ) -> MergeStats:
         """MERGE batch INTO table ON table.key = batch.key.
 
@@ -449,7 +548,12 @@ class LakeTable:
 
         # bucket pruning: read only buckets the batch touches. The distinct
         # bucket list is tiny (<= n_buckets ints) -- driver collect is safe.
-        touched = [r[0] for r in src_aligned.select(_BUCKET).distinct().collect()]
+        # Callers with batches that evidently touch every bucket (rows >>
+        # n_buckets) skip the discovery job entirely.
+        if assume_all_buckets:
+            touched = list(range(snap.n_buckets))
+        else:
+            touched = [r[0] for r in src_aligned.select(_BUCKET).distinct().collect()]
         target = self.read_buckets(touched, version=snap.version).withColumn(
             _BUCKET, self._bucket_expr(key)
         )
@@ -514,7 +618,7 @@ class LakeTable:
 
         entries = self._write_data(result, snap)
         touched_set = set(touched)
-        kept_files = [e for e in snap.files if e.bucket not in touched_set]
+        kept_files = [e for e in snap.files if not touched_set.intersection(e.buckets)]
         committed = dict(snap.committed)
         if job_id is not None and epoch is not None:
             committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
@@ -618,7 +722,8 @@ class LakeTable:
         snap = self.snapshot()
         by_bucket: dict[int, list[FileEntry]] = {}
         for e in snap.files:
-            by_bucket.setdefault(e.bucket, []).append(e)
+            for b in e.buckets:
+                by_bucket.setdefault(b, []).append(e)
         todo = [b for b, es in by_bucket.items() if len(es) > target_files_per_bucket]
         if not todo:
             return
@@ -638,7 +743,7 @@ class LakeTable:
             key=snap.key,
             key_field_id=snap.key_field_id,
             n_buckets=snap.n_buckets,
-            files=[e for e in snap.files if e.bucket not in todo_set] + entries,
+            files=[e for e in snap.files if not todo_set.intersection(e.buckets)] + entries,
             committed=snap.committed,
             properties=snap.properties,
         )

@@ -34,7 +34,8 @@ def get_spark(
         master = f"local[{cores}]"
         ncores = cores
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, ncores)
+        env_sp = os.environ.get("STRATUM_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_sp) if env_sp else max(8, ncores)
 
     b = (
         SparkSession.builder.master(master)
@@ -51,6 +52,11 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    local_dir = os.environ.get("STRATUM_SPARK_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    if os.environ.get("STRATUM_GC_LOG"):
+        b = b.config("spark.driver.extraJavaOptions", "-Xlog:gc")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -133,7 +133,10 @@ def test_bucket_pruning_reads_only_touched_buckets(spark, table):
     table.append(
         spark.createDataFrame([(f"k{i}", [i], 1, "web") for i in range(32)], DDL)
     )
-    assert len({e.bucket for e in table.snapshot().files}) == 4
+    covered = set()
+    for e in table.snapshot().files:
+        covered.update(e.buckets)
+    assert covered == {0, 1, 2, 3}
     batch = spark.createDataFrame([("U", "d1", [1], 1, "web")], f"op string, {DDL}")
     before = {e.path for e in table.snapshot().files}
     stats = table.merge(batch, op_col="op")
@@ -151,7 +154,8 @@ def test_compact(spark, table):
     assert table.row_count() == n_before
     by_bucket: dict[int, int] = {}
     for e in table.snapshot().files:
-        by_bucket[e.bucket] = by_bucket.get(e.bucket, 0) + 1
+        for b in e.buckets:
+            by_bucket[b] = by_bucket.get(b, 0) + 1
     assert all(v <= 1 for v in by_bucket.values())
     assert set(rows_as_dict(table.read())) >= {"x0", "x1", "x2"}
 
