@@ -45,3 +45,28 @@ def lww_dedup_window(df: DataFrame, key: str = "doc_id", order_col: str = "lsn")
     return (
         df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     )
+
+
+def lww_dedup_salted(
+    df: DataFrame, key: str = "doc_id", order_col: str = "lsn", n_salts: int = 16
+) -> DataFrame:
+    """Explicit salted two-phase LWW (the hand-rolled skew splitting the
+    north-star names): phase 1 reduces per (key, salt) where salt =
+    pmod(order_col, n_salts), phase 2 reduces the <= n_salts survivors per
+    key. Semantically identical to lww_dedup; kept to make the salting
+    strategy explicit/testable -- lww_dedup's partial aggregation achieves
+    the same two-phase shape automatically."""
+    cols = df.columns
+    salt = F.pmod(F.col(order_col), F.lit(n_salts)).alias("__salt")
+    row = F.max_by(F.struct(*cols), F.col(order_col)).alias("__row")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(row)
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+    )
+    return (
+        phase1.groupBy(key)
+        .agg(F.max_by(F.struct(*cols), F.col(order_col)).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+    )
