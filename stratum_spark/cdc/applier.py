@@ -145,25 +145,35 @@ class CdcApplier:
         bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
 
         # cache the epoch slice: every downstream pass (pre-agg, DLQ split,
-        # dedup+merge, lineage) reuses it instead of re-reading the feed
+        # dedup+merge) reuses it instead of re-reading the feed
         events = events.persist()
         try:
-            # -- one combined pre-aggregation pass -----------------------
-            pre = events.agg(
-                F.max("schema_ver").alias("v"),
-                F.max("lsn").alias("lsn_max"),
-                F.count("*").alias("n"),
-                F.sum(bad_pred.cast("long")).alias("n_bad"),
-            ).collect()[0]
-            if pre["n"] == 0:
+            # -- ONE pre-aggregation pass: per-input-partition stats (the
+            # lineage offset ranges) + the global aggregates derived from
+            # them on the driver --------------------------------------------
+            parts = (
+                events.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.min("lsn").alias("lsn_min"),
+                    F.max("lsn").alias("lsn_max"),
+                    F.count("*").alias("rows_in"),
+                    F.max("schema_ver").alias("v"),
+                    F.sum(bad_pred.cast("long")).alias("n_bad"),
+                )
+                .collect()
+            )
+            if not parts:
                 return EpochStats(epoch=epoch, skipped=True)
-            if pre["v"] is not None and self.evolution:
-                self._evolve_to(int(pre["v"]))
-            rows_in = int(pre["n"])
-            lsn_max = int(pre["lsn_max"])
-            n_bad = int(pre["n_bad"] or 0)
+            rows_in = sum(int(p["rows_in"]) for p in parts)
+            lsn_max = max(int(p["lsn_max"]) for p in parts)
+            max_ver = max(int(p["v"]) for p in parts if p["v"] is not None)
+            n_bad = sum(int(p["n_bad"] or 0) for p in parts)
+            if self.evolution:
+                self._evolve_to(max_ver)
 
-            # -- validation split (DLQ write only when failures exist) ---
+            # -- validation split; the DLQ write overlaps the merge on a
+            # separate thread (independent jobs over the cached slice) ----
+            dlq_future = None
             if self.validate and n_bad > 0:
                 dlq_rows = events.where(bad_pred).select(
                     F.col("lsn"),
@@ -177,15 +187,15 @@ class CdcApplier:
                     ),
                     F.current_timestamp().alias("failed_at"),
                 )
-                n_dlq = self.dlq.append(dlq_rows)
-                good = events.where(~bad_pred)
-            elif self.validate:
-                n_dlq = 0
-                good = events.where(~bad_pred)
-            else:
-                good = events
-                n_dlq = 0
-            return self._apply_good(events, good, epoch, rows_in, lsn_max, n_dlq, t0)
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(max_workers=1)
+                dlq_future = pool.submit(self.dlq.append, dlq_rows)
+                pool.shutdown(wait=False)
+            good = events.where(~bad_pred) if self.validate else events
+            n_dlq = 0
+            stats = self._apply_good(events, good, epoch, rows_in, lsn_max, parts, t0, dlq_future)
+            return stats
         finally:
             events.unpersist()
 
@@ -196,8 +206,9 @@ class CdcApplier:
         epoch: int,
         rows_in: int,
         lsn_max: int,
-        n_dlq: int,
+        parts: list,
         t0: float,
+        dlq_future=None,
     ) -> EpochStats:
 
         # -- schema_ver -> current-columns mapping ----------------------
@@ -239,7 +250,11 @@ class CdcApplier:
             if not all_buckets:
                 deduped.unpersist()
 
-        # -- lineage (driver-side append: a handful of rows per epoch) ---
+        # -- collect the overlapped DLQ write ----------------------------
+        n_dlq = dlq_future.result() if dlq_future is not None else 0
+
+        # -- lineage (driver-side append: a handful of rows per epoch,
+        # partition stats reused from the single pre-agg pass) ------------
         wall_ms = int((time.time() - t0) * 1000)
         batch_id = f"{self.job_id}-{epoch:08d}"
         from datetime import datetime, timezone
@@ -247,15 +262,6 @@ class CdcApplier:
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         lineage_rows: list[dict] = []
         if self.lineage_detail:
-            parts = (
-                events.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.min("lsn").alias("lsn_min"),
-                    F.max("lsn").alias("lsn_max"),
-                    F.count("*").alias("rows_in"),
-                )
-                .collect()
-            )
             for p in parts:
                 lineage_rows.append(
                     {
@@ -331,6 +337,34 @@ class CdcApplier:
     def state(self) -> DataFrame:
         """Current user-facing table state (system lsn column dropped)."""
         return self.tokens.read().drop("lsn")
+
+    def receipt(self, n_buckets: int = 64):
+        """Merkle receipt over the user-facing state (stratum `apply
+        --integrity`, crates/engine-processing/src/producer/components/
+        integrity.rs); persists alongside the table metadata."""
+        import json as _json
+
+        from stratum_spark.verify import merkle_receipt
+
+        r = merkle_receipt(self.state(), key="doc_id", n_buckets=n_buckets)
+        path = os.path.join(self.warehouse, "tokens", "_meta", "receipt.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(r.to_json(), fh)
+        os.replace(tmp, path)
+        return r
+
+    def verify(self):
+        """Re-read the destination and compare against the stored receipt
+        (stratum `verify`, crates/engine-verify/src/verifier.rs:40-53)."""
+        import json as _json
+
+        from stratum_spark.verify import Receipt, verify_receipt
+
+        path = os.path.join(self.warehouse, "tokens", "_meta", "receipt.json")
+        with open(path) as fh:
+            r = Receipt.from_json(_json.load(fh))
+        return verify_receipt(self.state(), "doc_id", r)
 
     def epoch_state(self) -> dict:
         return {

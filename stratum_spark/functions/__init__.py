@@ -2,6 +2,7 @@ from stratum_spark.functions.expr import (
     Arr,
     Bin,
     Call,
+    DotPath,
     Ident,
     IsNotNull,
     IsNull,
@@ -10,10 +11,14 @@ from stratum_spark.functions.expr import (
     When,
     compile_expr,
 )
+from stratum_spark.functions.parser import ParseError, parse_expr
 from stratum_spark.functions.scalars import FUNCTIONS
 
 __all__ = [
     "Lit",
+    "DotPath",
+    "parse_expr",
+    "ParseError",
     "Ident",
     "Bin",
     "Un",

@@ -1,0 +1,131 @@
+"""Dry-run plan analysis -- the `stratum plan` entry point reimplemented.
+
+Mirrors the reference's ReportBuilder pipeline
+(crates/engine-planner/src/builder/mod.rs:161-257): per-pipeline source
+analysis (row counts, columns), join/broadcast decisions, sampled
+validation-failure estimation (generator.rs:525-570), destination schema
+compatibility diagnostics, and the physical plan (our analog of the
+dry-run SQL preview). Diagnostics carry Error/Warning/Info levels
+(crates/engine-planner/src/plan/diagnostics/level.rs:5-10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from stratum_spark.functions.expr import compile_expr
+from stratum_spark.lake import LakeTable
+from stratum_spark.plans.pipeline import Catalog, PipelineSpec, compile_pipeline
+
+
+@dataclass
+class Diagnostic:
+    level: str  # error | warning | info | hint
+    message: str
+
+
+@dataclass
+class PipelinePlan:
+    name: str
+    source_rows: int
+    output_columns: list[str]
+    joins: list[dict]
+    validation_estimates: dict[str, dict]
+    physical_plan: str
+    diagnostics: list[Diagnostic] = field(default_factory=list)
+    estimated_failures: int = 0
+
+
+def plan_pipeline(
+    spec: PipelineSpec,
+    catalog: Catalog,
+    warehouse: dict[str, LakeTable] | None = None,
+    sample_size: int = 1000,
+) -> PipelinePlan:
+    diags: list[Diagnostic] = []
+    src = catalog.df(spec.source)
+    source_rows = src.count()  # parquet: metadata-only count
+
+    df, failed, warn_rules = compile_pipeline(spec, catalog)
+
+    # sampled validation estimation (the COUNT FILTER/SUM CASE estimate)
+    est: dict[str, dict] = {}
+    total_failures = 0
+    sample = None
+    gate = [v for v in spec.validations]
+    if gate:
+        base, _, _ = compile_pipeline(
+            PipelineSpec(
+                name=spec.name,
+                source=spec.source,
+                destination=spec.destination,
+                filter=spec.filter,
+                joins=spec.joins,
+                mappings=spec.mappings,
+                copy_columns=spec.copy_columns,
+            ),
+            catalog,
+        )
+        sample = base.limit(sample_size)
+        aggs = [F.count("*").alias("__total")]
+        for v in gate:
+            pred = ~compile_expr(v.check, sample).cast("boolean").eqNullSafe(F.lit(True))
+            aggs.append(F.sum(pred.cast("long")).alias(v.name))
+        row = sample.agg(*aggs).collect()[0].asDict()
+        total = row.pop("__total")
+        for v in gate:
+            n = int(row.get(v.name) or 0)
+            est[v.name] = {"sampled": total, "failures": n, "action": v.action}
+            if v.action in ("skip", "fail"):
+                total_failures += n
+            if n and v.action == "fail":
+                diags.append(
+                    Diagnostic("error", f"validation '{v.name}' would abort: {n}/{total} sampled rows fail")
+                )
+            elif n:
+                diags.append(
+                    Diagnostic("warning", f"validation '{v.name}': {n}/{total} sampled rows fail ({v.action})")
+                )
+
+    # destination compatibility
+    if warehouse is not None and spec.destination in warehouse:
+        dest_schema = warehouse[spec.destination].snapshot().schema
+        dest_cols = {f.name.lower() for f in dest_schema.fields}
+        out_cols = {c.lower() for c in df.columns}
+        missing = dest_cols - out_cols
+        extra = out_cols - dest_cols
+        if extra:
+            diags.append(Diagnostic("error", f"output columns not in destination: {sorted(extra)}"))
+        if missing:
+            diags.append(Diagnostic("info", f"destination columns filled with NULL: {sorted(missing)}"))
+        if spec.write_mode in ("upsert", "update") and warehouse[spec.destination].snapshot().key is None:
+            diags.append(Diagnostic("error", "upsert/update write mode needs a keyed destination"))
+    elif warehouse is not None:
+        diags.append(Diagnostic("error", f"unknown destination table: {spec.destination}"))
+
+    joins = [
+        {"alias": j.alias, "table": j.table, "kind": j.kind, "broadcast": j.broadcast}
+        for j in spec.joins
+    ]
+    jvm = df.sparkSession._jvm
+    plan_str = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    return PipelinePlan(
+        name=spec.name,
+        source_rows=source_rows,
+        output_columns=df.columns,
+        joins=joins,
+        validation_estimates=est,
+        physical_plan=plan_str,
+        diagnostics=diags,
+        estimated_failures=total_failures,
+    )
+
+
+def plan_report(
+    specs: list[PipelineSpec],
+    catalog: Catalog,
+    warehouse: dict[str, LakeTable] | None = None,
+) -> dict[str, PipelinePlan]:
+    return {s.name: plan_pipeline(s, catalog, warehouse) for s in specs}
