@@ -371,6 +371,28 @@ def _q_text_fingerprint(spark, sf):
     return fingerprints(_t(spark, sf, "documents"))
 
 
+def _q_cdc_end_to_end(spark, sf):
+    """The engine itself under the driver gate: deterministic synthetic
+    binlog -> backfill applier (validate -> DLQ -> LWW dedup -> MERGE with
+    schema evolution) -> final table state. Non-SQL-expressible (stateful
+    multi-epoch apply) -> rows-only check; per-row equality vs the
+    sequential replay oracle is asserted in tests/test_cdc.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stratum_spark.cdc import CdcApplier, generate_binlog, write_binlog
+
+    tmp = tempfile.mkdtemp(prefix="cdc_gate_")
+    feed = generate_binlog(spark, n_docs=120, n_events=600, seed=42, max_tokens=16)
+    write_binlog(feed, f"{tmp}/binlog", n_chunks=2)
+    ap = CdcApplier(spark, f"{tmp}/wh", job_id="gate", n_buckets=4, n_events_hint=600)
+    ap.run_backfill(f"{tmp}/binlog", epoch_size=300)
+    return ap.state().orderBy("doc_id").select(
+        "doc_id", "n_tok", "corpus", "lang", F.element_at("tokens", 1).alias("tok0")
+    )
+
+
 def _q_multimodal_features(spark, sf):
     from stratum_spark.operators.multimodal import extract_features, synth_media
 
@@ -414,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal_features,
+        "cdc_end_to_end": _q_cdc_end_to_end,
     }
 
 

@@ -138,43 +138,70 @@ class CdcApplier:
 
     # ------------------------------------------------------------------
     def apply_epoch(self, events: DataFrame, epoch: int) -> EpochStats:
+        """One epoch end-to-end. Fast path (schema evolution settled) runs
+        exactly TWO serial Spark jobs: (1) dedup + touched-bucket discovery,
+        which also materializes the cached slice and fires the attached
+        Observation carrying batch stats, and (2) the MERGE write. The DLQ
+        write and per-partition lineage stats run as concurrent jobs over
+        the cached slice. While scripted DDL is still pending, a pre-scan
+        decides evolution before column mapping (the reference applies
+        schema ops strictly before data, crates/engine-schema/src/plan.rs:259-288).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import Observation
+
         t0 = time.time()
         if epoch <= self.tokens.committed_epoch(self.job_id):
             return EpochStats(epoch=epoch, skipped=True)
 
         bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
-
-        # cache the epoch slice: every downstream pass (pre-agg, DLQ split,
-        # dedup+merge) reuses it instead of re-reading the feed
         events = events.persist()
+        pool = ThreadPoolExecutor(max_workers=2)
         try:
-            # -- ONE pre-aggregation pass: per-input-partition stats (the
-            # lineage offset ranges) + the global aggregates derived from
-            # them on the driver --------------------------------------------
-            parts = (
-                events.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.min("lsn").alias("lsn_min"),
+            pending_evo = bool(self.evolution) and self._table_schema_ver() < max(
+                s["ver"] for s in self.evolution
+            )
+
+            def parts_job():
+                return (
+                    events.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(
+                        F.min("lsn").alias("lsn_min"),
+                        F.max("lsn").alias("lsn_max"),
+                        F.count("*").alias("rows_in"),
+                        F.max("schema_ver").alias("v"),
+                        F.sum(bad_pred.cast("long")).alias("n_bad"),
+                    )
+                    .collect()
+                )
+
+            parts = None
+            parts_future = None
+            obs = None
+            if pending_evo:
+                parts = parts_job()  # serial: gates evolution before mapping
+                if not parts:
+                    return EpochStats(epoch=epoch, skipped=True)
+                self._evolve_to(max(int(p["v"]) for p in parts if p["v"] is not None))
+                rows_in = sum(int(p["rows_in"]) for p in parts)
+                lsn_max = max(int(p["lsn_max"]) for p in parts)
+                n_bad = sum(int(p["n_bad"] or 0) for p in parts)
+                ev = events
+            else:
+                if self.lineage_detail:
+                    parts_future = pool.submit(parts_job)
+                obs = Observation(f"epoch_{epoch}")
+                ev = events.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
                     F.max("lsn").alias("lsn_max"),
-                    F.count("*").alias("rows_in"),
-                    F.max("schema_ver").alias("v"),
                     F.sum(bad_pred.cast("long")).alias("n_bad"),
                 )
-                .collect()
-            )
-            if not parts:
-                return EpochStats(epoch=epoch, skipped=True)
-            rows_in = sum(int(p["rows_in"]) for p in parts)
-            lsn_max = max(int(p["lsn_max"]) for p in parts)
-            max_ver = max(int(p["v"]) for p in parts if p["v"] is not None)
-            n_bad = sum(int(p["n_bad"] or 0) for p in parts)
-            if self.evolution:
-                self._evolve_to(max_ver)
 
-            # -- validation split; the DLQ write overlaps the merge on a
-            # separate thread (independent jobs over the cached slice) ----
+            # DLQ write overlaps everything; append skips empty batches
             dlq_future = None
-            if self.validate and n_bad > 0:
+            if self.validate:
                 dlq_rows = events.where(bad_pred).select(
                     F.col("lsn"),
                     F.col("doc_id"),
@@ -187,122 +214,108 @@ class CdcApplier:
                     ),
                     F.current_timestamp().alias("failed_at"),
                 )
-                from concurrent.futures import ThreadPoolExecutor
-
-                pool = ThreadPoolExecutor(max_workers=1)
                 dlq_future = pool.submit(self.dlq.append, dlq_rows)
-                pool.shutdown(wait=False)
-            good = events.where(~bad_pred) if self.validate else events
-            n_dlq = 0
-            stats = self._apply_good(events, good, epoch, rows_in, lsn_max, parts, t0, dlq_future)
-            return stats
-        finally:
-            events.unpersist()
 
-    def _apply_good(
-        self,
-        events: DataFrame,
-        good: DataFrame,
-        epoch: int,
-        rows_in: int,
-        lsn_max: int,
-        parts: list,
-        t0: float,
-        dlq_future=None,
-    ) -> EpochStats:
+            good = ev.where(~bad_pred) if self.validate else ev
 
-        # -- schema_ver -> current-columns mapping ----------------------
-        src_name = self._source_col_name()
-        mapped = good.select(
-            F.col("doc_id"),
-            F.col("op"),
-            F.col("lsn"),
-            F.col("tokens"),
-            F.col("n_tok"),
-            F.col("source").alias(src_name),
-            F.when(F.col("schema_ver") >= 1, F.col("lang")).alias("lang")
-            if self._table_schema_ver() >= 1
-            else F.lit(None).alias("__drop_lang"),
-        )
-        if "__drop_lang" in mapped.columns:
-            mapped = mapped.drop("__drop_lang")
+            # schema_ver -> current-columns mapping
+            src_name = self._source_col_name()
+            cols = [
+                F.col("doc_id"),
+                F.col("op"),
+                F.col("lsn"),
+                F.col("tokens"),
+                F.col("n_tok"),
+                F.col("source").alias(src_name),
+            ]
+            if self._table_schema_ver() >= 1:
+                cols.append(F.when(F.col("schema_ver") >= 1, F.col("lang")).alias("lang"))
+            mapped = good.select(*cols)
 
-        # -- LWW dedup + MERGE (deduped batch cached: merge consumes it
-        # twice -- touched-bucket discovery + the join). Batches much larger
-        # than the bucket count certainly touch every bucket; skip the
-        # discovery job for those.
-        n_buckets = self.tokens.snapshot().n_buckets
-        all_buckets = rows_in >= n_buckets * 64
-        deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
-        if not all_buckets:
-            deduped = deduped.persist()
-        try:
-            mstats = self.tokens.merge(
-                deduped,
-                op_col="op",
-                job_id=self.job_id,
-                epoch=epoch,
-                lsn_max=lsn_max,
-                precedence_col="lsn",
-                assume_all_buckets=all_buckets,
-            )
-        finally:
-            if not all_buckets:
+            # job 1: dedup + touched discovery (fires the observation)
+            deduped = lww_dedup(mapped, key="doc_id", order_col="lsn").persist()
+            try:
+                bexpr = self.tokens._bucket_expr("doc_id")
+                touched = [
+                    r[0] for r in deduped.select(bexpr.alias("b")).distinct().collect()
+                ]
+                if obs is not None:
+                    stats_row = obs.get
+                    rows_in = int(stats_row["n"] or 0)
+                    lsn_max = int(stats_row["lsn_max"] or 0)
+                    n_bad = int(stats_row["n_bad"] or 0)
+                if rows_in == 0:
+                    return EpochStats(epoch=epoch, skipped=True)
+
+                # job 2: MERGE
+                mstats = self.tokens.merge(
+                    deduped,
+                    op_col="op",
+                    job_id=self.job_id,
+                    epoch=epoch,
+                    lsn_max=lsn_max,
+                    precedence_col="lsn",
+                    touched=touched,
+                )
+            finally:
                 deduped.unpersist()
 
-        # -- collect the overlapped DLQ write ----------------------------
-        n_dlq = dlq_future.result() if dlq_future is not None else 0
+            n_dlq = dlq_future.result() if dlq_future is not None else 0
+            if parts_future is not None:
+                parts = parts_future.result()
 
-        # -- lineage (driver-side append: a handful of rows per epoch,
-        # partition stats reused from the single pre-agg pass) ------------
-        wall_ms = int((time.time() - t0) * 1000)
-        batch_id = f"{self.job_id}-{epoch:08d}"
-        from datetime import datetime, timezone
+            # lineage rows appended driver-side (no Spark job)
+            wall_ms = int((time.time() - t0) * 1000)
+            batch_id = f"{self.job_id}-{epoch:08d}"
+            from datetime import datetime, timezone
 
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        lineage_rows: list[dict] = []
-        if self.lineage_detail:
-            for p in parts:
-                lineage_rows.append(
-                    {
-                        "batch_id": batch_id,
-                        "epoch": epoch,
-                        "partition_id": int(p["partition_id"]),
-                        "lsn_min": int(p["lsn_min"]),
-                        "lsn_max": int(p["lsn_max"]),
-                        "rows_in": int(p["rows_in"]),
-                        "committed_at": now,
-                    }
-                )
-        n_applied = mstats.rows_inserted + mstats.rows_updated + mstats.rows_deleted
-        lineage_rows.append(
-            {
-                "batch_id": batch_id,
-                "epoch": epoch,
-                "partition_id": -1,
-                "lsn_min": None,
-                "lsn_max": lsn_max,
-                "rows_in": rows_in,
-                "rows_deduped": n_applied,
-                "rows_inserted": mstats.rows_inserted,
-                "rows_updated": mstats.rows_updated,
-                "rows_deleted": mstats.rows_deleted,
-                "rows_dlq": n_dlq,
-                "wall_ms": wall_ms,
-                "committed_at": now,
-            }
-        )
-        self.lineage.append_local(lineage_rows)
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            lineage_rows: list[dict] = []
+            if self.lineage_detail and parts:
+                for p in parts:
+                    lineage_rows.append(
+                        {
+                            "batch_id": batch_id,
+                            "epoch": epoch,
+                            "partition_id": int(p["partition_id"]),
+                            "lsn_min": int(p["lsn_min"]),
+                            "lsn_max": int(p["lsn_max"]),
+                            "rows_in": int(p["rows_in"]),
+                            "committed_at": now,
+                        }
+                    )
+            n_applied = mstats.rows_inserted + mstats.rows_updated + mstats.rows_deleted
+            lineage_rows.append(
+                {
+                    "batch_id": batch_id,
+                    "epoch": epoch,
+                    "partition_id": -1,
+                    "lsn_min": None,
+                    "lsn_max": lsn_max,
+                    "rows_in": rows_in,
+                    "rows_deduped": n_applied,
+                    "rows_inserted": mstats.rows_inserted,
+                    "rows_updated": mstats.rows_updated,
+                    "rows_deleted": mstats.rows_deleted,
+                    "rows_dlq": n_dlq,
+                    "wall_ms": wall_ms,
+                    "committed_at": now,
+                }
+            )
+            self.lineage.append_local(lineage_rows)
 
-        return EpochStats(
-            epoch=epoch,
-            skipped=False,
-            rows_in=rows_in,
-            rows_dlq=n_dlq,
-            rows_deduped=n_applied,
-            merge=mstats,
-            wall_ms=wall_ms,
-        )
+            return EpochStats(
+                epoch=epoch,
+                skipped=False,
+                rows_in=rows_in,
+                rows_dlq=n_dlq,
+                rows_deduped=n_applied,
+                merge=mstats,
+                wall_ms=wall_ms,
+            )
+        finally:
+            pool.shutdown(wait=True)
+            events.unpersist()
 
     # ------------------------------------------------------------------
     def run_backfill(

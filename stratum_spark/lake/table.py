@@ -449,6 +449,8 @@ class LakeTable:
                 _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
             )
         entries = self._write_data(aligned, snap)
+        if not entries:
+            return 0  # empty append: no snapshot churn
         new = Snapshot(
             version=snap.version + 1,
             schema_id=snap.schema_id,
@@ -501,6 +503,7 @@ class LakeTable:
         mode: str = "upsert",
         precedence_col: str | None = None,
         assume_all_buckets: bool = False,
+        touched: list[int] | None = None,
     ) -> MergeStats:
         """MERGE batch INTO table ON table.key = batch.key.
 
@@ -550,10 +553,11 @@ class LakeTable:
         # bucket list is tiny (<= n_buckets ints) -- driver collect is safe.
         # Callers with batches that evidently touch every bucket (rows >>
         # n_buckets) skip the discovery job entirely.
-        if assume_all_buckets:
-            touched = list(range(snap.n_buckets))
-        else:
-            touched = [r[0] for r in src_aligned.select(_BUCKET).distinct().collect()]
+        if touched is None:
+            if assume_all_buckets:
+                touched = list(range(snap.n_buckets))
+            else:
+                touched = [r[0] for r in src_aligned.select(_BUCKET).distinct().collect()]
         target = self.read_buckets(touched, version=snap.version).withColumn(
             _BUCKET, self._bucket_expr(key)
         )

@@ -36,6 +36,7 @@ class PipelinePlan:
     physical_plan: str
     diagnostics: list[Diagnostic] = field(default_factory=list)
     estimated_failures: int = 0
+    sample_rows: list[dict] = field(default_factory=list)
 
 
 def plan_pipeline(
@@ -105,6 +106,13 @@ def plan_pipeline(
     elif warehouse is not None:
         diags.append(Diagnostic("error", f"unknown destination table: {spec.destination}"))
 
+    # preview sample (stratum `plan --sample [--sample-size N]`,
+    # crates/engine-planner/src/builder/analyzers/sample.rs:78-82 --
+    # ORDER BY RANDOM() with a seed for determinism)
+    sample_rows = [
+        r.asDict() for r in df.orderBy(F.rand(seed=42)).limit(5).collect()
+    ]
+
     joins = [
         {"alias": j.alias, "table": j.table, "kind": j.kind, "broadcast": j.broadcast}
         for j in spec.joins
@@ -120,6 +128,7 @@ def plan_pipeline(
         physical_plan=plan_str,
         diagnostics=diags,
         estimated_failures=total_failures,
+        sample_rows=sample_rows,
     )
 
 
