@@ -62,8 +62,11 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
     spark = get_spark(f"bench_cdc_{cores}", cores=cores)
     wh = tempfile.mkdtemp(prefix=f"bench_wh_{cores}_")
     try:
+        # evolution=[] (the bench feed carries no DDL): measures pure merge
+        # throughput with epoch pipelining active from the first epoch;
+        # schema-evolution correctness is covered by the pytest suites
         ap = CdcApplier(
-            spark, wh, job_id="bench", n_buckets=64, n_events_hint=n_events, validate=True
+            spark, wh, job_id="bench", n_buckets=64, evolution=[], validate=True
         )
         t0 = time.time()
         stats = ap.run_backfill(binlog_dir, epoch_size=max(10_000, n_events // 6))
@@ -144,7 +147,8 @@ def main() -> None:
     spark = get_spark("bench_gen", cores=CPUS, extra_conf={"spark.local.dir": local_dir})
     binlog_dir = os.path.join(base, "binlog")
     feed = generate_binlog(
-        spark, n_docs=N_DOCS, n_events=N_EVENTS, seed=42, max_tokens=96
+        spark, n_docs=N_DOCS, n_events=N_EVENTS, seed=42, max_tokens=96,
+        with_evolution=False,
     )
     write_binlog(feed, binlog_dir, n_chunks=16)
 

@@ -138,30 +138,44 @@ class CdcApplier:
 
     # ------------------------------------------------------------------
     def apply_epoch(self, events: DataFrame, epoch: int) -> EpochStats:
-        """One epoch end-to-end. Fast path (schema evolution settled) runs
-        exactly TWO serial Spark jobs: (1) dedup + touched-bucket discovery,
-        which also materializes the cached slice and fires the attached
-        Observation carrying batch stats, and (2) the MERGE write. The DLQ
-        write and per-partition lineage stats run as concurrent jobs over
-        the cached slice. While scripted DDL is still pending, a pre-scan
-        decides evolution before column mapping (the reference applies
+        """One epoch end-to-end: prepare (validate/dedup/stats, concurrent
+        DLQ + lineage jobs) then commit (MERGE + lineage rows). Split so the
+        backfill loop can PIPELINE: prepare epoch N+1 while committing epoch
+        N -- merges stay strictly ordered, preparation depends only on the
+        feed. While scripted DDL is pending the path stays serial (column
+        mapping depends on the evolving table schema; the reference applies
         schema ops strictly before data, crates/engine-schema/src/plan.rs:259-288).
         """
+        prep = self._prepare_epoch(events, epoch)
+        if prep is None:
+            return EpochStats(epoch=epoch, skipped=True)
+        return self._commit_epoch(prep)
+
+    def evolution_pending(self) -> bool:
+        return bool(self.evolution) and self._table_schema_ver() < max(
+            s["ver"] for s in self.evolution
+        )
+
+    def _prepare_epoch(self, events: DataFrame, epoch: int) -> dict | None:
+        """Job 1 of the epoch: cache the slice, apply pending scripted DDL,
+        split validation failures (DLQ write overlapped), map columns, LWW
+        dedup, discover touched buckets, gather batch stats. Returns the
+        prepared state for _commit_epoch, or None if the epoch is empty or
+        already committed."""
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark.sql import Observation
 
         t0 = time.time()
         if epoch <= self.tokens.committed_epoch(self.job_id):
-            return EpochStats(epoch=epoch, skipped=True)
+            return None
 
         bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
         events = events.persist()
         pool = ThreadPoolExecutor(max_workers=2)
+        ok = False
         try:
-            pending_evo = bool(self.evolution) and self._table_schema_ver() < max(
-                s["ver"] for s in self.evolution
-            )
+            pending_evo = self.evolution_pending()
 
             def parts_job():
                 return (
@@ -179,19 +193,19 @@ class CdcApplier:
             parts = None
             parts_future = None
             obs = None
+            rows_in = lsn_max = None
             if pending_evo:
                 parts = parts_job()  # serial: gates evolution before mapping
                 if not parts:
-                    return EpochStats(epoch=epoch, skipped=True)
+                    return None
                 self._evolve_to(max(int(p["v"]) for p in parts if p["v"] is not None))
                 rows_in = sum(int(p["rows_in"]) for p in parts)
                 lsn_max = max(int(p["lsn_max"]) for p in parts)
-                n_bad = sum(int(p["n_bad"] or 0) for p in parts)
                 ev = events
             else:
                 if self.lineage_detail:
                     parts_future = pool.submit(parts_job)
-                obs = Observation(f"epoch_{epoch}")
+                obs = Observation(f"epoch_{epoch}_{time.monotonic_ns()}")
                 ev = events.observe(
                     obs,
                     F.count(F.lit(1)).alias("n"),
@@ -232,90 +246,107 @@ class CdcApplier:
                 cols.append(F.when(F.col("schema_ver") >= 1, F.col("lang")).alias("lang"))
             mapped = good.select(*cols)
 
-            # job 1: dedup + touched discovery (fires the observation)
+            # dedup + touched discovery (fires the observation)
             deduped = lww_dedup(mapped, key="doc_id", order_col="lsn").persist()
-            try:
-                bexpr = self.tokens._bucket_expr("doc_id")
-                touched = [
-                    r[0] for r in deduped.select(bexpr.alias("b")).distinct().collect()
-                ]
-                if obs is not None:
-                    stats_row = obs.get
-                    rows_in = int(stats_row["n"] or 0)
-                    lsn_max = int(stats_row["lsn_max"] or 0)
-                    n_bad = int(stats_row["n_bad"] or 0)
-                if rows_in == 0:
-                    return EpochStats(epoch=epoch, skipped=True)
-
-                # job 2: MERGE
-                mstats = self.tokens.merge(
-                    deduped,
-                    op_col="op",
-                    job_id=self.job_id,
-                    epoch=epoch,
-                    lsn_max=lsn_max,
-                    precedence_col="lsn",
-                    touched=touched,
-                )
-            finally:
+            bexpr = self.tokens._bucket_expr("doc_id")
+            touched = [r[0] for r in deduped.select(bexpr.alias("b")).distinct().collect()]
+            if obs is not None:
+                stats_row = obs.get
+                rows_in = int(stats_row["n"] or 0)
+                lsn_max = int(stats_row["lsn_max"] or 0)
+            if rows_in == 0:
                 deduped.unpersist()
-
-            n_dlq = dlq_future.result() if dlq_future is not None else 0
-            if parts_future is not None:
-                parts = parts_future.result()
-
-            # lineage rows appended driver-side (no Spark job)
-            wall_ms = int((time.time() - t0) * 1000)
-            batch_id = f"{self.job_id}-{epoch:08d}"
-            from datetime import datetime, timezone
-
-            now = datetime.now(timezone.utc).replace(tzinfo=None)
-            lineage_rows: list[dict] = []
-            if self.lineage_detail and parts:
-                for p in parts:
-                    lineage_rows.append(
-                        {
-                            "batch_id": batch_id,
-                            "epoch": epoch,
-                            "partition_id": int(p["partition_id"]),
-                            "lsn_min": int(p["lsn_min"]),
-                            "lsn_max": int(p["lsn_max"]),
-                            "rows_in": int(p["rows_in"]),
-                            "committed_at": now,
-                        }
-                    )
-            n_applied = mstats.rows_inserted + mstats.rows_updated + mstats.rows_deleted
-            lineage_rows.append(
-                {
-                    "batch_id": batch_id,
-                    "epoch": epoch,
-                    "partition_id": -1,
-                    "lsn_min": None,
-                    "lsn_max": lsn_max,
-                    "rows_in": rows_in,
-                    "rows_deduped": n_applied,
-                    "rows_inserted": mstats.rows_inserted,
-                    "rows_updated": mstats.rows_updated,
-                    "rows_deleted": mstats.rows_deleted,
-                    "rows_dlq": n_dlq,
-                    "wall_ms": wall_ms,
-                    "committed_at": now,
-                }
-            )
-            self.lineage.append_local(lineage_rows)
-
-            return EpochStats(
-                epoch=epoch,
-                skipped=False,
-                rows_in=rows_in,
-                rows_dlq=n_dlq,
-                rows_deduped=n_applied,
-                merge=mstats,
-                wall_ms=wall_ms,
-            )
+                return None
+            ok = True
+            return {
+                "epoch": epoch,
+                "t0": t0,
+                "events": events,
+                "deduped": deduped,
+                "touched": touched,
+                "rows_in": rows_in,
+                "lsn_max": lsn_max,
+                "dlq_future": dlq_future,
+                "parts_future": parts_future,
+                "parts": parts,
+                "pool": pool,
+            }
         finally:
-            pool.shutdown(wait=True)
-            events.unpersist()
+            if not ok:
+                pool.shutdown(wait=True)
+                events.unpersist()
+
+    def _commit_epoch(self, prep: dict) -> EpochStats:
+        """Job 2 of the epoch: the MERGE (atomic lake commit with the epoch
+        bookmark) plus lineage rows. Must run in epoch order."""
+        epoch = prep["epoch"]
+        try:
+            mstats = self.tokens.merge(
+                prep["deduped"],
+                op_col="op",
+                job_id=self.job_id,
+                epoch=epoch,
+                lsn_max=prep["lsn_max"],
+                precedence_col="lsn",
+                touched=prep["touched"],
+            )
+            n_dlq = prep["dlq_future"].result() if prep["dlq_future"] is not None else 0
+            parts = prep["parts"]
+            if prep["parts_future"] is not None:
+                parts = prep["parts_future"].result()
+        finally:
+            prep["deduped"].unpersist()
+            prep["pool"].shutdown(wait=True)
+            prep["events"].unpersist()
+
+        wall_ms = int((time.time() - prep["t0"]) * 1000)
+        batch_id = f"{self.job_id}-{epoch:08d}"
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        lineage_rows: list[dict] = []
+        if self.lineage_detail and parts:
+            for p in parts:
+                lineage_rows.append(
+                    {
+                        "batch_id": batch_id,
+                        "epoch": epoch,
+                        "partition_id": int(p["partition_id"]),
+                        "lsn_min": int(p["lsn_min"]),
+                        "lsn_max": int(p["lsn_max"]),
+                        "rows_in": int(p["rows_in"]),
+                        "committed_at": now,
+                    }
+                )
+        n_applied = mstats.rows_inserted + mstats.rows_updated + mstats.rows_deleted
+        lineage_rows.append(
+            {
+                "batch_id": batch_id,
+                "epoch": epoch,
+                "partition_id": -1,
+                "lsn_min": None,
+                "lsn_max": prep["lsn_max"],
+                "rows_in": prep["rows_in"],
+                "rows_deduped": n_applied,
+                "rows_inserted": mstats.rows_inserted,
+                "rows_updated": mstats.rows_updated,
+                "rows_deleted": mstats.rows_deleted,
+                "rows_dlq": n_dlq,
+                "wall_ms": wall_ms,
+                "committed_at": now,
+            }
+        )
+        self.lineage.append_local(lineage_rows)
+
+        return EpochStats(
+            epoch=epoch,
+            skipped=False,
+            rows_in=prep["rows_in"],
+            rows_dlq=n_dlq,
+            rows_deduped=n_applied,
+            merge=mstats,
+            wall_ms=wall_ms,
+        )
 
     # ------------------------------------------------------------------
     def run_backfill(
@@ -324,12 +355,25 @@ class CdcApplier:
         epoch_size: int = 10_000,
         stop_after: int | None = None,
         max_lsn: int | None = None,
+        pipelined: bool = False,
     ) -> list[EpochStats]:
         """Batch-mode apply: the feed is consumed as consecutive lsn-range
         epochs (keyset pagination generalized -- stratum Cursor::Numeric,
         crates/model/src/pagination/cursor.rs:43-47). Resumes after the last
         committed epoch; `stop_after` epochs simulates a crash/pause for
-        kill-and-resume tests (crates/engine-tests/src/resume.rs:50-127)."""
+        kill-and-resume tests (crates/engine-tests/src/resume.rs:50-127).
+
+        pipelined=True overlaps epoch N+1's preparation (scan/validate/
+        dedup/bucket discovery) with epoch N's merge commit -- merges stay
+        strictly ordered, so exactly-once and replay semantics are
+        unchanged. Pipelining pauses automatically while scripted schema
+        evolution is still pending (column mapping must see the table
+        schema its own prepare produced). Off by default: on this sandbox's
+        single box the serial loop already saturates the usable cores, and
+        concurrent prepare/commit jobs contend; on a cluster with separate
+        executors the overlap buys up to the prepare fraction of the epoch."""
+        if pipelined:
+            return self._run_backfill_pipelined(binlog_path, epoch_size, stop_after, max_lsn)
         feed = self.spark.read.parquet(binlog_path)
         if max_lsn is None:
             max_lsn = feed.agg(F.max("lsn")).collect()[0][0] or 0
@@ -344,6 +388,51 @@ class CdcApplier:
             done += 1
             if stop_after is not None and done >= stop_after:
                 break
+        return out
+
+    def _run_backfill_pipelined(
+        self,
+        binlog_path: str,
+        epoch_size: int,
+        stop_after: int | None,
+        max_lsn: int | None,
+    ) -> list[EpochStats]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        feed = self.spark.read.parquet(binlog_path)
+        if max_lsn is None:
+            max_lsn = feed.agg(F.max("lsn")).collect()[0][0] or 0
+        start_epoch = self.tokens.committed_epoch(self.job_id) + 1
+        n_epochs = (max_lsn + epoch_size - 1) // epoch_size
+        epochs = list(range(start_epoch, n_epochs))
+        if stop_after is not None:
+            epochs = epochs[:stop_after]
+        out: list[EpochStats] = []
+
+        def slice_of(ep: int):
+            lo, hi = ep * epoch_size + 1, (ep + 1) * epoch_size
+            return feed.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            i = 0
+            next_prep = None
+            while i < len(epochs):
+                ep = epochs[i]
+                if next_prep is not None:
+                    prep = next_prep.result()
+                    next_prep = None
+                else:
+                    prep = self._prepare_epoch(slice_of(ep), ep)
+                # prefetch the NEXT epoch's prepare unless schema evolution
+                # may still change the table (mapping depends on it)
+                if i + 1 < len(epochs) and not self.evolution_pending():
+                    nxt = epochs[i + 1]
+                    next_prep = prefetcher.submit(self._prepare_epoch, slice_of(nxt), nxt)
+                if prep is None:
+                    out.append(EpochStats(epoch=ep, skipped=True))
+                else:
+                    out.append(self._commit_epoch(prep))
+                i += 1
         return out
 
     # ------------------------------------------------------------------

@@ -121,3 +121,16 @@ def test_epoch_replay_is_noop(spark, binlog_dir, tmp_path):
     s2 = ap.apply_epoch(feed, 0)  # re-delivery of the whole epoch
     assert s2.skipped
     assert collect_state(ap) == before
+
+
+def test_pipelined_backfill_matches_serial(spark, binlog_dir, tmp_path):
+    """Epoch pipelining (prepare N+1 concurrent with commit N) must be
+    invisible in the final state."""
+    ap_s = CdcApplier(spark, str(tmp_path / "ser"), job_id="t", n_buckets=8,
+                      n_events_hint=N_EVENTS)
+    ap_s.run_backfill(binlog_dir, epoch_size=EPOCH, pipelined=False)
+    ap_p = CdcApplier(spark, str(tmp_path / "pipe"), job_id="t", n_buckets=8,
+                      n_events_hint=N_EVENTS)
+    stats = ap_p.run_backfill(binlog_dir, epoch_size=EPOCH, pipelined=True)
+    assert all(not s.skipped for s in stats)
+    assert collect_state(ap_p) == collect_state(ap_s)
