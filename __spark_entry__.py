@@ -371,6 +371,20 @@ def _q_text_fingerprint(spark, sf):
     return fingerprints(_t(spark, sf, "documents"))
 
 
+def _q_events_sessionize(spark, sf):
+    from stratum_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf, "events"), key="user_id", ts_col="ts",
+                      gap_minutes=30.0, id_col="event_id")
+
+
+def _q_ann_ivf(spark, sf):
+    from stratum_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf, "embeddings"), n_queries=8, k=5,
+                    n_clusters=8, nprobe=4, iters=2)
+
+
 def _q_cdc_end_to_end(spark, sf):
     """The engine itself under the driver gate: deterministic synthetic
     binlog -> backfill applier (validate -> DLQ -> LWW dedup -> MERGE with
@@ -436,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal_features,
+        "events_sessionize": _q_events_sessionize,
+        "ann_topk_ivf": _q_ann_ivf,
         "cdc_end_to_end": _q_cdc_end_to_end,
     }
 
@@ -636,6 +652,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_fingerprint": (
             f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"
+        ),
+        "events_sessionize": (
+            "WITH s AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "epoch_ms(ts)/1000.0 - lag(epoch_ms(ts)/1000.0) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "t AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM s) "
+            "SELECT user_id, session_no, count(*) AS n_events, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us "
+            "FROM t GROUP BY 1, 2"
         ),
         # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, multimodal_features:
         # intentionally omitted -- hash-seeded LSH banding and Arrow-batched

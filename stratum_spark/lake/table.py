@@ -720,6 +720,44 @@ class LakeTable:
     def row_count(self) -> int:
         return sum(e.rows for e in self.snapshot().files)
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Garbage-collect history: keep the newest `keep_last` snapshot
+        versions, delete older version files and any data file no retained
+        snapshot references (Iceberg expire_snapshots analog). Time travel
+        remains valid for retained versions only. Returns deletion counts."""
+        import shutil
+
+        metas = sorted(
+            f for f in os.listdir(os.path.join(self.root, _META)) if f.startswith("v")
+        )
+        if len(metas) <= keep_last:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        keep, drop = metas[-keep_last:], metas[:-keep_last]
+        referenced: set[str] = set()
+        for m in keep:
+            with open(os.path.join(self.root, _META, m)) as fh:
+                s = Snapshot.from_json(json.load(fh))
+            referenced.update(e.path for e in s.files)
+        files_removed = 0
+        for m in drop:
+            with open(os.path.join(self.root, _META, m)) as fh:
+                s = Snapshot.from_json(json.load(fh))
+            for e in s.files:
+                if e.path not in referenced:
+                    full = os.path.join(self.root, e.path)
+                    if os.path.isfile(full):
+                        os.remove(full)
+                        files_removed += 1
+            os.remove(os.path.join(self.root, _META, m))
+        # sweep now-empty commit dirs
+        data_root = os.path.join(self.root, _DATA)
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if os.path.isdir(full) and not os.listdir(full):
+                    shutil.rmtree(full)
+        return {"snapshots_removed": len(drop), "files_removed": files_removed}
+
     def compact(self, target_files_per_bucket: int = 1) -> None:
         """Rewrite buckets whose file count exceeds the target (maintenance;
         Iceberg rewrite_data_files analog)."""

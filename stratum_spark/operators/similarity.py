@@ -171,3 +171,129 @@ def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
         .where(F.col("sim") >= tau)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _l2_to(vec: Column, centroid: list[float]) -> Column:
+    c = _lit_vec(centroid)
+    return F.aggregate(
+        F.zip_with(_dbl(vec), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin cluster id over the (broadcast-as-literals) centroid set."""
+    dists = F.array(*[_l2_to(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means: init = the n_clusters vectors with the
+    smallest xxhash64(id, seed) (a seeded pseudo-random sample, no RNG
+    state); each iteration is one distributed assign + groupBy-mean pass.
+    Centroids live on the driver (K x d floats), data never leaves
+    executors except the K mean rows."""
+    init = (
+        emb.orderBy(F.abs(F.xxhash64(F.col(id_col), F.lit(seed))))
+        .limit(n_clusters)
+        .select(_dbl(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = emb.select(
+            _assign_expr(F.col(vec_col), centroids).alias("c"),
+            _dbl(F.col(vec_col)).alias("v"),
+        )
+        means = (
+            assigned.groupBy("c")
+            .agg(
+                F.array(*[F.round(F.avg(F.element_at("v", i + 1)), 8) for i in range(dim)]).alias("m"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[int(r["c"])] = list(r["m"])
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid; each query searches only its nprobe nearest clusters with
+    exact cosine. The 100 TB path: the corpus scan is pruned to
+    nprobe/n_clusters of the data and the join is keyed on cluster id --
+    no cross product. Deterministic given (seed, data)."""
+    centroids = ivf_train(emb, n_clusters, iters, id_col, vec_col, seed)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _assign_expr(F.col(vec_col), centroids).alias("cluster"),
+    )
+    dists = F.array(*[_l2_to(F.col("qv"), c) for c in centroids])
+    probe_clusters = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    dists, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cluster", F.explode(probe_clusters))
+    )
+    sims = (
+        F.broadcast(q)
+        .join(
+            corpus,
+            (q["cluster"] == corpus["cluster"]) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
