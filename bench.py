@@ -190,6 +190,23 @@ def main() -> None:
             runs[CPUS].append(_run_cdc_at(CPUS, binlog_dir, N_EVENTS, local_dir))
         else:
             runs[CPUS] = runs[SCALE_HI]
+        # optional weak-scaling exhibit (BENCH_WEAK=1): same cores, half
+        # the feed -- near-equal events/sec means per-event cost is flat in
+        # data volume, the scaling dimension a cluster actually grows along
+        weak = None
+        if os.environ.get("BENCH_WEAK") == "1":
+            half_dir = os.path.join(base, "binlog_half")
+            os.makedirs(half_dir, exist_ok=True)
+            import glob as _glob
+
+            chunks = sorted(_glob.glob(os.path.join(binlog_dir, "chunk-*.parquet")))
+            for c in chunks[: len(chunks) // 2]:
+                os.link(c, os.path.join(half_dir, os.path.basename(c)))
+            weak_half = _run_cdc_at(SCALE_HI, half_dir, N_EVENTS // 2, local_dir)
+            weak = {
+                "half_feed": weak_half,
+                "note": "compare events_per_sec_steady vs full feed at same cores",
+            }
     finally:
         shutil.rmtree(base, ignore_errors=True)
     lo, hi, full = runs[SCALE_LO][0], runs[SCALE_HI][0], runs[CPUS][0]
@@ -219,6 +236,7 @@ def main() -> None:
                     "speedup": round(hi_rate / lo_rate, 3),
                     "cores_factor": factor,
                     "scaling_efficiency": efficiency,
+                    "weak_scaling": weak,
                 },
                 "total_wall_sec": total,
             }
