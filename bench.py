@@ -69,7 +69,7 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
             spark, wh, job_id="bench", n_buckets=64, evolution=[], validate=True
         )
         t0 = time.time()
-        stats = ap.run_backfill(binlog_dir, epoch_size=max(10_000, n_events // 6))
+        stats = ap.run_backfill(binlog_dir, epoch_size=max(10_000, n_events // 4))
         wall = time.time() - t0
         for s in stats:
             print(
