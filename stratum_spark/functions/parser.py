@@ -36,10 +36,11 @@ from stratum_spark.functions.expr import (
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<op>==|!=|>=|<=|[-+*/%<>(),\[\]{}])
+  | (?P<op>&&|\|\||==|!=|>=|<=|[-+*/%<>(),\[\]{}=])
   | (?P<word>[A-Za-z_][A-Za-z_0-9]*(\.[A-Za-z_][A-Za-z_0-9]*)?)
 """,
     re.VERBOSE,
@@ -61,10 +62,14 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             raise ParseError(f"unexpected character at {pos}: {text[pos:pos+10]!r}")
         pos = m.end()
         kind = m.lastgroup
-        if kind == "ws":
+        if kind in ("ws", "comment"):
             continue
         val = m.group()
-        if kind == "word" and val.lower() in _KEYWORDS and "." not in val:
+        if kind == "op" and val in ("&&", "||"):
+            # the reference grammar accepts both spellings
+            # (smql_v2.1.pest:39-40 keywords, :69-70 symbol ops)
+            out.append(("kw", "and" if val == "&&" else "or"))
+        elif kind == "word" and val.lower() in _KEYWORDS and "." not in val:
             out.append(("kw", val.lower()))
         else:
             out.append((kind, val))
@@ -248,3 +253,19 @@ class _Parser:
 def parse_expr(text: str) -> Expr:
     """Parse expression text to IR; compile with functions.compile_expr."""
     return _Parser(text).parse()
+
+
+def tokenize(text: str) -> list[tuple[str, str]]:
+    """Public tokenizer (block parsers embed expression parsing)."""
+    return _tokenize(text)
+
+
+def parse_expr_at(toks: list[tuple[str, str]], start: int) -> tuple[Expr, int]:
+    """Parse a maximal expression from a pre-tokenized stream starting at
+    `start`; returns (expr, index of the first unconsumed token). Used by
+    the smql config parser to embed expressions inside block syntax."""
+    p = _Parser.__new__(_Parser)
+    p.toks = toks
+    p.i = start
+    e = p.p_or()
+    return e, p.i

@@ -1,0 +1,129 @@
+"""smql config-text parser: parses the REFERENCE's own example configs and
+executes an adapted config end-to-end on the testdata."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stratum_spark.functions.expr import When
+from stratum_spark.lake import LakeTable
+from stratum_spark.plans import Catalog, run_dag
+from stratum_spark.plans.smql import parse_smql
+
+REF = "/root/reference/examples/configs"
+
+
+@pytest.fixture(autouse=True)
+def _env(monkeypatch):
+    monkeypatch.setenv("MYSQL_URL", "mysql://example")
+    monkeypatch.setenv("POSTGRES_URL", "postgres://example")
+
+
+def _read(name: str) -> str:
+    return open(os.path.join(REF, name)).read()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
+def test_parse_reference_when_config():
+    doc = parse_smql(_read("when.smql"))
+    assert doc.defines["mysql_url"] == "mysql://example"
+    assert doc.connections["src"]["driver"] == "mysql"
+    [p] = doc.pipelines
+    assert p.name == "classify_films" and p.source == "film" and p.destination == "film_catalog"
+    m = dict(p.mappings)
+    assert isinstance(m["price_tier"], When) and len(m["price_tier"].branches) == 2
+    assert isinstance(m["length_label"], When)
+    assert doc.settings["classify_films"]["batch_size"] == 1000
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
+def test_parse_reference_validation_config():
+    doc = parse_smql(_read("validation.smql"))
+    names = {p.name for p in doc.pipelines}
+    assert "migrate_payments_clean" in names
+    clean = next(p for p in doc.pipelines if p.name == "migrate_payments_clean")
+    assert [v.action for v in clean.validations] == ["skip", "skip"]
+    assert {v.name for v in clean.validations} == {"positive_amount", "reasonable_amount"}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
+def test_parse_reference_dag_config():
+    doc = parse_smql(_read("dag.smql"))
+    by_name = {p.name: p for p in doc.pipelines}
+    assert by_name["migrate_film"].after == ("migrate_language",)
+    roots = [p for p in doc.pipelines if not p.after]
+    assert len(roots) >= 2  # parallel level 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
+def test_parse_reference_dlq_config():
+    doc = parse_smql(_read("dlq.smql"))
+    assert any(t for t in doc.dlq_tables.values())
+
+
+def test_execute_adapted_smql_on_testdata(spark, sf_dir, tmp_path):
+    text = """
+    define { tier_cut = env("SMQL_TIER_CUT") }
+
+    connection "src" { driver = "parquet" url = "testdata" }
+    connection "dst" { driver = "lake"    url = "warehouse" }
+
+    pipeline "orders_flat" {
+        from { connection = connection.src  table = "orders" }
+        to   { connection = connection.dst  table = "orders_flat" }
+
+        with {
+            c from customer where c.c_custkey == orders.o_custkey
+        }
+
+        where "paid_enough" {
+            orders.o_totalprice > 100000.0
+        }
+
+        select {
+            order_id   = orders.o_orderkey
+            customer   = c.c_name
+            total      = orders.o_totalprice
+            tier       = when {
+                orders.o_totalprice >= 300000.0 then "premium"
+                orders.o_totalprice >= 200000.0 then "standard"
+                else "budget"
+            }
+        }
+
+        validate {
+            assert "has_customer" {
+                check   = customer is not null
+                message = "order without customer"
+                action  = skip
+            }
+        }
+
+        settings {
+            copy_columns = "MAP_ONLY"
+            write_mode   = "upsert"
+            key          = "order_id"
+        }
+    }
+    """
+    os.environ["SMQL_TIER_CUT"] = "300000"
+    doc = parse_smql(text)
+    [spec] = doc.pipelines
+    assert spec.copy_columns == "MAP_ONLY" and spec.write_mode == "upsert"
+
+    cat = Catalog(spark, {n: f"{sf_dir}/{n}.parquet" for n in ["orders", "customer"]})
+    wh = {
+        "orders_flat": LakeTable.create(
+            spark, str(tmp_path / "of"),
+            "order_id bigint, customer string, total double, tier string",
+            key="order_id", n_buckets=4,
+        )
+    }
+    res = run_dag([spec], cat, wh)["orders_flat"]
+    assert res.error is None and res.rows_written > 0
+    out = wh["orders_flat"].read()
+    assert out.where("total <= 100000.0").count() == 0
+    tiers = {r["tier"] for r in out.select("tier").distinct().collect()}
+    assert "premium" in tiers and "budget" in tiers
