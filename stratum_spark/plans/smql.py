@@ -42,10 +42,13 @@ from stratum_spark.plans.pipeline import JoinSpec, PipelineSpec, ValidationRule
 @dataclass
 class SmqlDocument:
     defines: dict[str, object] = field(default_factory=dict)
+    execution: dict = field(default_factory=dict)
+    paginate: dict[str, dict] = field(default_factory=dict)  # pipeline -> strategy
     connections: dict[str, dict] = field(default_factory=dict)
     pipelines: list[PipelineSpec] = field(default_factory=list)
     settings: dict[str, dict] = field(default_factory=dict)  # pipeline -> settings
     dlq_tables: dict[str, str] = field(default_factory=dict)  # pipeline -> table
+    hooks: dict[str, dict] = field(default_factory=dict)  # pipeline -> {before/after: [sql]}
 
 
 class _Walk:
@@ -92,6 +95,10 @@ def _const(doc: SmqlDocument, e: Expr):
         return doc.defines[e.name]
     if isinstance(e, DotPath):  # connection.src etc. -- symbolic reference
         return f"{e.qualifier}.{e.name}"
+    from stratum_spark.functions.expr import Arr
+
+    if isinstance(e, Arr):
+        return [_const(doc, i) for i in e.items]
     raise ParseError(f"not a constant config value: {e!r}")
 
 
@@ -119,6 +126,10 @@ def parse_smql(text: str) -> SmqlDocument:
             doc.connections[name] = props
         elif word == "pipeline":
             _parse_pipeline(doc, w)
+        elif word == "execution":
+            # execution { strategy = "parallel" max_concurrency = 4 ... }
+            # -> DAG runner knobs (plans/dag.py max_parallel)
+            doc.execution = _parse_block_props(doc, w)
         else:
             raise ParseError(f"unexpected top-level block: {word}")
     return doc
@@ -148,11 +159,22 @@ def _parse_pipeline(doc: SmqlDocument, w: _Walk) -> None:
 
     while not w.at("op", "}"):
         block = w.expect("word")
-        if block == "after":
+        if block in ("before", "after") and w.at("op", "{"):
+            # lifecycle hook block: before/after { sql = ["...", ...] }
+            # (reference hooks, crates/engine-runtime orchestrator pre/post)
+            props = _parse_block_props(doc, w)
+            doc.hooks.setdefault(name, {})[block] = props.get("sql", [])
+        elif block == "after":
             w.expect("op", "=")
             w.expect("op", "[")
             while not w.at("op", "]"):
-                after.append(w.string())
+                # both spellings appear in the reference's examples:
+                # after = ["name"] and after = [pipeline.name]
+                if w.at("string"):
+                    after.append(w.string())
+                else:
+                    ref = w.expect("word")
+                    after.append(ref.split(".", 1)[1] if ref.startswith("pipeline.") else ref)
                 if w.at("op", ","):
                     w.next()
             w.next()
@@ -178,8 +200,11 @@ def _parse_pipeline(doc: SmqlDocument, w: _Walk) -> None:
             if w.at("string"):
                 w.string()  # optional rule name, informational
             w.expect("op", "{")
-            filters.append(w.expr())
-            w.expect("op", "}")
+            # a where block may hold several newline-separated conditions,
+            # implicitly ANDed (reference examples/plan-generation.smql:161-164)
+            while not w.at("op", "}"):
+                filters.append(w.expr())
+            w.next()
         elif block == "select":
             w.expect("op", "{")
             while not w.at("op", "}"):
@@ -225,12 +250,21 @@ def _parse_pipeline(doc: SmqlDocument, w: _Walk) -> None:
             w.next()
         elif block == "settings":
             settings = _parse_block_props(doc, w)
+        elif block == "paginate":
+            # deterministic keyset-pagination strategy (offsets.rs); batch
+            # epochs / ordered reads use it as the cursor spec
+            doc.paginate[name] = _parse_block_props(doc, w)
         else:
             raise ParseError(f"unknown pipeline block: {block}")
     w.next()
 
     if source is None or destination is None:
         raise ParseError(f"pipeline {name}: from/to required")
+    filters = [_substitute_defines(doc, f) for f in filters]
+    mappings = [(t, _substitute_defines(doc, e)) for t, e in mappings]
+    validations = [
+        ValidationRule(v.name, _substitute_defines(doc, v.check), v.action) for v in validations
+    ]
     filt = None
     for f in filters:
         filt = f if filt is None else Bin("and", filt, f)
@@ -250,6 +284,36 @@ def _parse_pipeline(doc: SmqlDocument, w: _Walk) -> None:
             after=tuple(after),
         )
     )
+
+
+def _substitute_defines(doc: SmqlDocument, e: Expr) -> Expr:
+    """Replace define.x references inside expressions with their constant
+    values (the reference substitutes defines at plan build,
+    crates/engine-core/src/plan/builder.rs)."""
+    from dataclasses import fields as dc_fields
+
+    from stratum_spark.functions.expr import Arr, Bin, Call, IsNotNull, IsNull, Un, When
+
+    if isinstance(e, DotPath) and e.qualifier == "define":
+        return Lit(doc.defines[e.name])
+    if isinstance(e, Bin):
+        return Bin(e.op, _substitute_defines(doc, e.left), _substitute_defines(doc, e.right))
+    if isinstance(e, Un):
+        return Un(e.op, _substitute_defines(doc, e.operand))
+    if isinstance(e, Call):
+        return Call(e.name, tuple(_substitute_defines(doc, a) for a in e.args))
+    if isinstance(e, Arr):
+        return Arr(tuple(_substitute_defines(doc, a) for a in e.items))
+    if isinstance(e, When):
+        return When(
+            tuple((_substitute_defines(doc, c), _substitute_defines(doc, v)) for c, v in e.branches),
+            _substitute_defines(doc, e.default) if e.default is not None else None,
+        )
+    if isinstance(e, IsNull):
+        return IsNull(_substitute_defines(doc, e.operand))
+    if isinstance(e, IsNotNull):
+        return IsNotNull(_substitute_defines(doc, e.operand))
+    return e
 
 
 def _join_from_cond(alias: str, table: str, cond: Expr) -> JoinSpec:

@@ -127,3 +127,45 @@ def test_execute_adapted_smql_on_testdata(spark, sf_dir, tmp_path):
     assert out.where("total <= 100000.0").count() == 0
     tiers = {r["tier"] for r in out.select("tier").distinct().collect()}
     assert "premium" in tiers and "budget" in tiers
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
+def test_parse_all_reference_example_configs():
+    """Every .smql config the reference ships must parse into runnable
+    pipeline specs -- the 'switch engines and run your configs' bar."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REF, "*.smql")))
+    assert len(files) >= 9
+    total = 0
+    for f in files:
+        doc = parse_smql(open(f).read())
+        assert doc.pipelines, f
+        total += len(doc.pipelines)
+    assert total >= 20
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
+def test_reference_plan_generation_details():
+    doc = parse_smql(_read("plan-generation.smql"))
+    assert doc.execution.get("strategy") == "parallel"
+    by_name = {p.name: p for p in doc.pipelines}
+    joined = next(p for p in doc.pipelines if p.joins)
+    assert joined.joins[0].kind == "inner"
+    hooks = [h for h in doc.hooks.values() if h.get("before") or h.get("after")]
+    assert hooks and any(isinstance(h.get("before", []), list) for h in hooks)
+    # defines referenced inside where-clauses substituted as constants
+    from stratum_spark.functions.expr import DotPath
+
+    def has_define_ref(e):
+        if isinstance(e, DotPath) and e.qualifier == "define":
+            return True
+        return any(
+            has_define_ref(x)
+            for x in getattr(e, "__dict__", {}).values()
+            if hasattr(x, "__dict__") or isinstance(x, tuple)
+        )
+
+    for p in doc.pipelines:
+        if p.filter is not None:
+            assert not has_define_ref(p.filter), p.name
