@@ -320,7 +320,10 @@ def _q_dedup_ngram(spark, sf):
 def _q_dedup_minhash(spark, sf):
     from stratum_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), n=3, k=32, bands=8, tau=0.12)
+    # gate parameters chosen for recall ~= 1 (r=2 bands at the corpus's
+    # planted-dup jaccard >= 0.9: miss prob (1-0.9^2)^16 ~ 3e-12), so the
+    # LSH output EQUALS the exact-jaccard oracle at gate scale
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), n=3, k=32, bands=16, tau=0.12)
 
 
 def _q_dedup_simhash(spark, sf):
@@ -344,7 +347,10 @@ def _q_ann_bruteforce(spark, sf):
 def _q_ann_lsh(spark, sf):
     from stratum_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(_t(spark, sf, "embeddings"), n_queries=8, k=5)
+    # gate parameters for recall ~= 1: top-5 sims here are >= ~0.3, so a
+    # 2-plane/32-table OR-amplification misses a true neighbor with
+    # p < 1e-6 -- the approximate result EQUALS the brute-force oracle
+    return lsh_topk(_t(spark, sf, "embeddings"), n_queries=8, k=5, n_planes=2, n_tables=32)
 
 
 def _q_text_tokens(spark, sf):
@@ -381,8 +387,11 @@ def _q_events_sessionize(spark, sf):
 def _q_ann_ivf(spark, sf):
     from stratum_spark.operators.similarity import ivf_topk
 
+    # spilled IVF at recall=1 on this corpus: 5/8 clusters probed (37.5% of
+    # the corpus pruned per query) with 3x multi-assignment -- EQUALS the
+    # brute-force oracle at gate scale
     return ivf_topk(_t(spark, sf, "embeddings"), n_queries=8, k=5,
-                    n_clusters=8, nprobe=4, iters=2)
+                    n_clusters=8, nprobe=5, iters=2, n_assign=3)
 
 
 def _q_cdc_end_to_end(spark, sf):
@@ -411,8 +420,17 @@ def _q_multimodal_features(spark, sf):
     from stratum_spark.operators.multimodal import extract_features, synth_media
 
     feats = extract_features(synth_media(_t(spark, sf, "documents")))
+    # mean = sum/count from the kernel's exact integer byte stats: both
+    # engines round the SAME double (Spark HALF_UP == DuckDB half-away for
+    # positive values), so the hash comparison is tie-safe
     return feats.select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 2), 4).alias("mean_byte")
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(
+            F.element_at("feature", 2).cast("double") / F.element_at("feature", 1).cast("double"),
+            4,
+        ).alias("mean_byte"),
     )
 
 
@@ -466,6 +484,35 @@ _STOP_FR = "['le','et','les','des','une']"
 _STOP_ES = "['el','y','los','las','una']"
 
 _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# exact n-gram Jaccard ground truth: oracles BOTH dedup_ngram_jaccard (exact
+# operator) and dedup_minhash_lsh (whose gate parameters are recall~=1, so
+# the LSH output equals the exact result on this corpus)
+_NGRAM_JACCARD_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS gs "
+    "FROM toks), "
+    "inv AS (SELECT doc_id, len(gs) AS n_sh, unnest(gs) AS g FROM sh), "
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
+    "count(*) AS common FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2, 3, 4) "
+    "SELECT doc_a, doc_b, round(common * 1.0 / (na + nb - common), 4) AS jaccard "
+    "FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.12"
+)
+
+# exact cosine top-k ground truth: oracles ann_topk_bruteforce (exact) plus
+# ann_topk_lsh and ann_topk_ivf (gate parameters chosen for recall~=1)
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), "
+    "sims AS (SELECT query_id, e.vec_id AS neighbor_id, "
+    "round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim "
+    "FROM q JOIN embeddings e ON e.vec_id <> q.query_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY sim DESC, neighbor_id) AS rank FROM sims) "
+    "SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -535,8 +582,10 @@ def oracle_sql() -> dict[str, str]:
             "l_orderkey % 7 AS mod7 FROM lineitem WHERE l_linenumber = 1"
         ),
         "validation_estimate": (
-            "SELECT sum(CASE WHEN NOT (l_quantity <= 45.0) THEN 1 ELSE 0 END) AS failures, "
-            "count(*) AS total FROM lineitem"
+            # CAST: DuckDB SUM yields HUGEINT (int128) which byte-hashes
+            # differently from Spark's bigint even when values match
+            "SELECT CAST(sum(CASE WHEN NOT (l_quantity <= 45.0) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS failures, count(*) AS total FROM lineitem"
         ),
         "keyset_pagination": (
             "WITH cur AS (SELECT max(ts) AS m FROM "
@@ -588,33 +637,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT md5({_NORM_TEXT}) AS text_hash, min(doc_id) AS keeper_id, "
             "count(*) AS n_copies FROM documents GROUP BY 1"
         ),
-        "dedup_ngram_jaccard": (
-            f"WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
-            "FROM documents), "
-            "sh AS (SELECT doc_id, list_distinct(list_transform("
-            "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS gs "
-            "FROM toks), "
-            "inv AS (SELECT doc_id, len(gs) AS n_sh, unnest(gs) AS g FROM sh), "
-            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
-            "count(*) AS common FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2, 3, 4) "
-            "SELECT doc_a, doc_b, round(common * 1.0 / (na + nb - common), 4) AS jaccard "
-            "FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.12"
-        ),
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42"
         ),
-        "ann_topk_bruteforce": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), "
-            "sims AS (SELECT query_id, e.vec_id AS neighbor_id, "
-            "round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim "
-            "FROM q JOIN embeddings e ON e.vec_id <> q.query_id), "
-            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
-            "ORDER BY sim DESC, neighbor_id) AS rank FROM sims) "
-            "SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5"
+        "ann_topk_bruteforce": _ANN_TOPK_SQL,
+        "ann_topk_lsh": _ANN_TOPK_SQL,
+        "ann_topk_ivf": _ANN_TOPK_SQL,
+        "multimodal_features": (
+            # the stub kernel's byte stats over the utf-8 payload are
+            # SQL-expressible (the corpus is ASCII: codepoint == byte)
+            "SELECT doc_id AS media_id, "
+            "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind, "
+            "CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            "round(list_aggregate(list_transform(range(1, CAST(strlen(text) AS INT) + 1), "
+            "i -> ord(text[CAST(i AS INT)])), 'sum') * 1.0 / strlen(text), 4) AS mean_byte "
+            "FROM documents"
         ),
         "text_token_counts": (
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens, "
@@ -658,17 +700,16 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(ts)/1000.0 - lag(epoch_ms(ts)/1000.0) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
             "THEN 1 ELSE 0 END AS brk FROM events), "
-            "t AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM s) "
+            "t AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM s) "
             "SELECT user_id, session_no, count(*) AS n_events, "
             "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
             "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
-            "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us "
+            "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us "
             "FROM t GROUP BY 1, 2"
         ),
-        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, multimodal_features:
-        # intentionally omitted -- hash-seeded LSH banding and Arrow-batched
-        # python kernels are not ANSI-SQL-expressible; driver records the
-        # weaker rows-only check, and tests/test_operators.py validates their
-        # semantics against exact ground truth in-suite.
+        # dedup_simhash (xxhash64 bit-votes) and cdc_end_to_end (stateful
+        # multi-epoch apply) are the only legitimately non-SQL-expressible
+        # entries; the driver records the weaker rows-only check for them,
+        # and pytest validates their semantics against ground truth in-suite.
     }

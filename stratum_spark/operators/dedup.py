@@ -19,7 +19,7 @@ needs engine-agreement (md5 there).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -52,30 +52,50 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.05) -> DataFrame:
+def _verify_jaccard(cand_ids: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of an ids-only candidate-pair set.
+
+    The candidate shuffle carries (doc_a, doc_b) ONLY -- shingle arrays are
+    re-joined here, after dedup, so candidate amplification (many shared
+    shingles / many LSH bands) never multiplies the heavy payload through
+    the shuffle. sh must be (doc_id, shingles)."""
+    cand = cand_ids.dropDuplicates(["doc_a", "doc_b"])
+    withs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    jac = inter.cast("double") / union
+    return withs.where(jac >= tau).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, tau: float = 0.05, max_df: int = 10_000
+) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets, via an
     inverted-index self-join (pairs only materialize when they share a
-    shingle). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    shingle). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Scale guard: shingles whose document frequency exceeds max_df are cut
+    from the inverted index before the self-join (the standard posting-list
+    frequency cut) -- a stop-gram shared by 10^6 docs would otherwise create
+    a 10^12-row bucket. Verification re-joins the FULL shingle sets, so the
+    Jaccard of every surviving pair is exact; only pairs whose shared
+    shingles are ALL above max_df can be missed (near-dup pairs share many
+    shingles, so rare ones too). Candidates shuffle as ids only."""
     sh = docs.select(
         F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    ).where(F.size("shingles") > 0)
+    inv = sh.select("doc_id", F.explode("shingles").alias("g"))
+    # posting-list frequency cut: df computed with one partial-agg shuffle
+    inv = inv.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+    inv = inv.where(F.col("df") <= max_df).drop("df")
     a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("common"))
-    )
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        pairs.where(jac >= tau)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    cand = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return _verify_jaccard(cand, sh, tau)
 
 
 # ---------------------------------------------------------------------------
@@ -101,9 +121,11 @@ def minhash_lsh_pairs(
     sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles"))
     sh = sh.where(F.size("shingles") > 0)
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    # band rows carry (doc_id, band, bh) ONLY -- the shingle arrays rejoin
+    # after candidate dedup (_verify_jaccard), so the (band-key) shuffle
+    # payload stays ~24 bytes/row regardless of document size
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -115,27 +137,15 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
-    jac = inter.cast("double") / union
-    return cand.where(jac >= tau).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return _verify_jaccard(cand, sh, tau)
 
 
 # ---------------------------------------------------------------------------
@@ -173,22 +183,47 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def _simhash_band(sh: Column, band: int, n_bands: int) -> Column:
+    """Band `band` of an interleaved 64-bit split into n_bands sub-bands:
+    band b owns bit positions {j : j % n_bands == b}, packed densely.
+    Interleaving (vs contiguous ranges) keeps band widths balanced for any
+    n_bands, so the pigeonhole guarantee holds exactly: <= n_bands-1
+    differing bits cannot touch all n_bands bands."""
+    n_bits = (64 - 1 - band) // n_bands + 1
+    packed = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda i: F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", sh, (i * n_bands + band).cast("int")).bitwiseAND(
+                F.lit(1)
+            ),
+            i.cast("int"),
+        ),
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on the
-    four 16-bit sub-bands (a pair within distance 3 must agree on >= 1 band)."""
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
+    max_hamming+1 interleaved sub-bands: a pair within the requested radius
+    must agree exactly on >= 1 band (pigeonhole), so band blocking is
+    recall-complete for the CONFIGURED distance -- the band count is derived
+    from max_hamming rather than fixed at 4 (which would silently
+    under-recall for distances > 3)."""
+    n_bands = max_hamming + 1
     sh = docs.select(F.col("doc_id"), simhash64(F.col("text")).alias("sh"))
     banded = sh.select(
         "doc_id",
         "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.call_function("shiftright", F.col("sh"), i.cast("int") * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _simhash_band(F.col("sh"), b, n_bands).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))

