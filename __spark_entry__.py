@@ -198,6 +198,27 @@ def _q_validation_estimate(spark, sf):
     )
 
 
+def _q_decimal_arith(spark, sf):
+    # §2.3 exact decimal arithmetic (the reference's BigDecimal path,
+    # eval/binary.rs:160-194): money math runs in DecimalType end-to-end --
+    # (12,2) x (1 - (4,3)) -> exact scale-5 product, summed exactly, and
+    # only the FINAL result leaves decimal (cast to double for the
+    # engine-neutral comparison). A float pipeline would differ in the
+    # last bits; matching the oracle proves the arithmetic stayed exact.
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,3)")
+    net = price * (F.lit(1).cast("decimal(4,3)") - disc)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(net).cast("decimal(28,6)").cast("double").alias("net_sum"),
+            F.max(net.cast("decimal(20,6)")).cast("double").alias("net_max"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def _q_keyset_pagination(spark, sf):
     # §2.5 keyset ORDER BY + LIMIT page (offsets.rs CompositeTsPk strategy)
     e = _t(spark, sf, "events")
@@ -449,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": _q_scalar_functions,
         "int_division": _q_int_division,
         "validation_estimate": _q_validation_estimate,
+        "decimal_arith": _q_decimal_arith,
         "keyset_pagination": _q_keyset_pagination,
         "window_lww": _q_window_lww,
         "window_running": _q_window_running,
@@ -586,6 +608,14 @@ def oracle_sql() -> dict[str, str]:
             # differently from Spark's bigint even when values match
             "SELECT CAST(sum(CASE WHEN NOT (l_quantity <= 45.0) THEN 1 ELSE 0 END) AS BIGINT) "
             "AS failures, count(*) AS total FROM lineitem"
+        ),
+        "decimal_arith": (
+            "SELECT l_returnflag, "
+            "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,3)))) AS DECIMAL(28,6)) AS DOUBLE) AS net_sum, "
+            "CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,3)))) AS DECIMAL(20,6)) AS DOUBLE) AS net_max, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag"
         ),
         "keyset_pagination": (
             "WITH cur AS (SELECT max(ts) AS m FROM "

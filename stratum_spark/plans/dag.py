@@ -54,18 +54,44 @@ def run_dag(
     catalog: Catalog,
     warehouse: dict,
     max_parallel: int = 4,
+    hooks: dict[str, dict] | None = None,
 ) -> dict[str, PipelineResult]:
+    """hooks: pipeline name -> {'before': [sql...], 'after': [sql...]}.
+    Lifecycle hook SQL runs against the Spark session catalog immediately
+    before/after its pipeline's data phase (the reference executes hooks
+    around migration, crates/engine-runtime/src/execution/orchestrator.rs:
+    76-93; scenarios in crates/engine-tests/src/integration.rs). A failing
+    before-hook fails the pipeline (data phase never runs); after-hooks run
+    only on success and see the destination's post-write state (its temp
+    view is re-registered first)."""
     results: dict[str, PipelineResult] = {}
     failed: set[str] = set()
+    hooks = hooks or {}
+
+    def _run_hooks(spec: PipelineSpec, phase: str, res: PipelineResult) -> None:
+        stmts = hooks.get(spec.name, {}).get(phase, [])
+        if not stmts:
+            return
+        if phase == "after" and spec.destination in warehouse:
+            warehouse[spec.destination].read().createOrReplaceTempView(spec.destination)
+        for sql in stmts:
+            catalog.spark.sql(sql)
+            res.hooks_run.append(f"{phase}: {sql}")
 
     def _run(spec: PipelineSpec) -> PipelineResult:
         if any(d in failed for d in spec.after):
             r = PipelineResult(spec.name, skipped=True, error="dependency failed")
             return r
+        res = PipelineResult(spec.name)
         try:
-            return run_pipeline(spec, catalog, warehouse)
+            _run_hooks(spec, "before", res)
+            r = run_pipeline(spec, catalog, warehouse)
+            r.hooks_run = res.hooks_run + r.hooks_run
+            _run_hooks(spec, "after", r)
+            return r
         except Exception as e:  # failure isolation
-            return PipelineResult(spec.name, error=str(e))
+            res.error = str(e)
+            return res
 
     for level in topo_levels(specs):
         with ThreadPoolExecutor(max_workers=max_parallel) as ex:

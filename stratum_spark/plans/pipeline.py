@@ -20,6 +20,7 @@ counts, `fail` aborts the pipeline if any row fails.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +74,7 @@ class PipelineResult:
     warnings: dict[str, int] = field(default_factory=dict)
     error: str | None = None
     skipped: bool = False
+    hooks_run: list[str] = field(default_factory=list)
 
 
 class Catalog:
@@ -136,13 +138,41 @@ def compile_pipeline(
     gate_rules = [v for v in spec.validations if v.action in ("skip", "fail")]
     failed = None
     if gate_rules:
-        fail_pred = None
-        for v in gate_rules:
-            p = ~compile_expr(v.check, df).cast("boolean").eqNullSafe(F.lit(True))
-            fail_pred = p if fail_pred is None else (fail_pred | p)
+        fail_pred = _gate_pred(spec, df)
         failed = df.where(fail_pred)
         df = df.where(~fail_pred)
     return df, failed, warn_rules
+
+
+def _gate_pred(spec: PipelineSpec, df: DataFrame):
+    """OR of the failure predicates of all skip/fail rules (row fails the
+    gate when ANY such rule fails)."""
+    fail_pred = None
+    for v in spec.validations:
+        if v.action not in ("skip", "fail"):
+            continue
+        p = ~compile_expr(v.check, df).cast("boolean").eqNullSafe(F.lit(True))
+        fail_pred = p if fail_pred is None else (fail_pred | p)
+    return fail_pred
+
+
+def _pre_validation_frame(spec: PipelineSpec, catalog: Catalog) -> DataFrame:
+    """The pipeline frame up to (but not including) the validation split."""
+    no_valid = PipelineSpec(
+        name=spec.name,
+        source=spec.source,
+        destination=spec.destination,
+        filter=spec.filter,
+        joins=spec.joins,
+        mappings=spec.mappings,
+        copy_columns=spec.copy_columns,
+        validations=(),
+        write_mode=spec.write_mode,
+        key=spec.key,
+        after=spec.after,
+    )
+    df, _, _ = compile_pipeline(no_valid, catalog)
+    return df
 
 
 def run_pipeline(
@@ -151,25 +181,57 @@ def run_pipeline(
     warehouse: dict[str, LakeTable],
 ) -> PipelineResult:
     """Execute: write valid rows to the destination table per write_mode,
-    failed rows count as DLQ. warehouse maps destination name -> LakeTable."""
+    failed rows count as DLQ. warehouse maps destination name -> LakeTable.
+
+    Validation counting is SINGLE-PASS: all warn-rule failure counts plus
+    the gate (skip/fail) failure count are computed together -- via an
+    Observation riding the destination write when no fail-action rule
+    exists (zero extra jobs for N rules), or via one combined aggregation
+    job when a fail-action rule requires aborting BEFORE any write. The
+    reference runs validators inline in its producer pass
+    (crates/engine-processing/src/producer/mod.rs:36-94) -- never one scan
+    per rule."""
     res = PipelineResult(spec.name)
-    valid, failed, warn_rules = compile_pipeline(spec, catalog)
-
-    for v in warn_rules:
-        n = valid.where(
-            ~compile_expr(v.check, valid).cast("boolean").eqNullSafe(F.lit(True))
-        ).count()
-        if n:
-            res.warnings[v.name] = n
-
+    df = _pre_validation_frame(spec, catalog)
+    warn_rules = [v for v in spec.validations if v.action == "warn"]
+    gate_pred = _gate_pred(spec, df)
     has_fail_action = any(v.action == "fail" for v in spec.validations)
-    if failed is not None:
-        res.rows_failed = failed.count()
-        if res.rows_failed and has_fail_action:
-            raise RuntimeError(
-                f"pipeline {spec.name}: {res.rows_failed} rows failed a fail-action validation"
-            )
 
+    aggs = [
+        F.sum(
+            (~compile_expr(v.check, df).cast("boolean").eqNullSafe(F.lit(True))).cast("long")
+        ).alias(f"w_{i}")
+        for i, v in enumerate(warn_rules)
+    ]
+    if gate_pred is not None:
+        aggs.append(F.sum(gate_pred.cast("long")).alias("__gate_failed"))
+
+    def _apply_counts(row) -> None:
+        for i, v in enumerate(warn_rules):
+            n = int(row[f"w_{i}"] or 0)
+            if n:
+                res.warnings[v.name] = n
+        if gate_pred is not None:
+            res.rows_failed = int(row["__gate_failed"] or 0)
+
+    obs = None
+    if aggs:
+        if has_fail_action:
+            # must abort before writing anything: ONE aggregation job
+            # covering every rule (not one job per rule)
+            _apply_counts(df.agg(*aggs).first())
+            if res.rows_failed:
+                raise RuntimeError(
+                    f"pipeline {spec.name}: {res.rows_failed} rows failed a "
+                    "fail-action validation"
+                )
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"pipeline_{spec.name}_{time.monotonic_ns()}")
+            df = df.observe(obs, *aggs)
+
+    valid = df.where(~gate_pred) if gate_pred is not None else df
     dest = warehouse[spec.destination]
     if spec.write_mode == "insert":
         res.rows_written = dest.append(valid)
@@ -182,4 +244,6 @@ def run_pipeline(
         res.rows_written = stats.rows_inserted + stats.rows_updated
     else:
         raise ValueError(f"unknown write_mode {spec.write_mode}")
+    if obs is not None:
+        _apply_counts(obs.get)  # fired during the write scan
     return res

@@ -37,6 +37,48 @@ class PipelinePlan:
     diagnostics: list[Diagnostic] = field(default_factory=list)
     estimated_failures: int = 0
     sample_rows: list[dict] = field(default_factory=list)
+    estimated_duration_s: float = 0.0
+    estimate_detail: dict = field(default_factory=dict)
+
+
+def estimate_duration(
+    rows: int,
+    n_joins: int,
+    n_exprs: int,
+    write_mode: str = "insert",
+    parallelism: int = 1,
+) -> dict:
+    """Plan-time duration estimate, reimplementing the reference planner's
+    published cost model (crates/engine-planner/src/builder/estimator.rs:
+    22-60): a base per-row rate degraded by join-count and expression-count
+    factors, plus fixed setup/checkpoint overheads. The base rates are the
+    reference's own calibration constants used as PRIORS (its single-node
+    COPY/INSERT throughput); `parallelism` scales the row phase for a
+    multi-executor Spark run, which the reference (single-node) fixes at 1."""
+    base = 40_000.0 if write_mode in ("insert", "replace") else 10_000.0
+    join_f = {0: 1.0, 1: 0.9, 2: 0.8, 3: 0.7}.get(n_joins, 0.5)
+    if n_exprs <= 2:
+        expr_f = 1.0
+    elif n_exprs <= 5:
+        expr_f = 0.95
+    elif n_exprs <= 10:
+        expr_f = 0.90
+    elif n_exprs <= 20:
+        expr_f = 0.80
+    else:
+        expr_f = 0.70
+    rate = max(base * join_f * expr_f * max(parallelism, 1), 100.0)
+    setup_s = 1.0  # connection/session setup prior
+    row_s = rows / rate
+    return {
+        "rows": rows,
+        "rate_rows_per_s": round(rate, 1),
+        "join_factor": join_f,
+        "expr_factor": expr_f,
+        "setup_s": setup_s,
+        "row_phase_s": round(row_s, 3),
+        "total_s": round(setup_s + row_s, 3),
+    }
 
 
 def plan_pipeline(
@@ -119,6 +161,14 @@ def plan_pipeline(
     ]
     jvm = df.sparkSession._jvm
     plan_str = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    n_exprs = sum(1 for _, m in spec.mappings if not isinstance(m, str))
+    est_detail = estimate_duration(
+        rows=source_rows,
+        n_joins=len(spec.joins),
+        n_exprs=n_exprs,
+        write_mode=spec.write_mode,
+        parallelism=df.sparkSession.sparkContext.defaultParallelism,
+    )
     return PipelinePlan(
         name=spec.name,
         source_rows=source_rows,
@@ -129,6 +179,8 @@ def plan_pipeline(
         diagnostics=diags,
         estimated_failures=total_failures,
         sample_rows=sample_rows,
+        estimated_duration_s=est_detail["total_s"],
+        estimate_detail=est_detail,
     )
 
 

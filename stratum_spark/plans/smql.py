@@ -286,6 +286,32 @@ def _parse_pipeline(doc: SmqlDocument, w: _Walk) -> None:
     )
 
 
+def run_document(
+    doc: SmqlDocument,
+    catalog,
+    warehouse: dict,
+    max_parallel: int = 4,
+) -> dict:
+    """Execute a parsed .smql document end-to-end: register every catalog
+    source as a session temp view (so lifecycle-hook SQL can reference the
+    same names the pipelines read), then run the pipeline DAG with the
+    document's before/after hooks wired in. Mirrors the reference's
+    orchestrated run: hooks -> data migration -> hooks
+    (crates/engine-runtime/src/execution/orchestrator.rs:76-93)."""
+    from stratum_spark.plans.dag import run_dag
+
+    for name in catalog.entries:
+        catalog.df(name).createOrReplaceTempView(name)
+    exec_conf = doc.execution or {}
+    return run_dag(
+        doc.pipelines,
+        catalog,
+        warehouse,
+        max_parallel=int(exec_conf.get("max_concurrency", max_parallel)),
+        hooks=doc.hooks,
+    )
+
+
 def _substitute_defines(doc: SmqlDocument, e: Expr) -> Expr:
     """Replace define.x references inside expressions with their constant
     values (the reference substitutes defines at plan build,

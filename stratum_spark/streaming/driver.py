@@ -35,6 +35,21 @@ def start_stream(
     processing_time: str = "0 seconds",
 ) -> StreamingQuery:
     spark = applier.spark
+    # epoch-namespace guard: batch backfill numbers epochs by lsn range,
+    # streaming by Spark batch_id -- the two sequences are NOT comparable.
+    # A stream started against a job_id whose bookmark was written by a
+    # BACKFILL would silently skip micro-batches 0..committed_epoch (data
+    # loss), so a cross-mode bookmark is rejected; resuming a stream's own
+    # bookmark is the normal restart path.
+    committed = applier.tokens.snapshot().committed.get(applier.job_id)
+    if committed is not None and committed.get("mode", "batch") != "stream":
+        raise ValueError(
+            f"job_id {applier.job_id!r} already has a batch-mode epoch bookmark "
+            f"(epoch {committed.get('epoch')}); streaming epochs are Spark batch "
+            "ids and would be skipped against it -- use a different job_id for "
+            "the streaming phase"
+        )
+    applier.epoch_mode = "stream"
     feed = (
         spark.readStream.schema(BINLOG_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -74,3 +89,4 @@ def run_stream_until_idle(
     if q.isActive:
         q.stop()
         raise TimeoutError("stream did not drain in time")
+    applier.flush_lineage()

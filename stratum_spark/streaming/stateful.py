@@ -25,32 +25,54 @@ OUT_SCHEMA = T.StructType(
         T.StructField("total_tokens", T.LongType()),
     ]
 )
+# bounded per-key state: counters + a KMV (k-minimum-values) sketch of
+# doc_id hashes. A raw count would double-count docs re-seen in later
+# micro-batches; a doc SET would grow without bound. KMV keeps the _KMV_K
+# smallest hashes: EXACT distinct while distinct <= _KMV_K, an unbiased
+# (K-1)/kth-min estimate beyond, O(K) state forever.
+_KMV_K = 256
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("n_docs_seen", T.LongType()),
         T.StructField("total_tokens", T.LongType()),
+        T.StructField("kmv", T.ArrayType(T.LongType())),
     ]
 )
+
+
+def _doc_hashes(s: pd.Series) -> "pd.Series":
+    # vectorized, deterministic 64-bit hashing (no per-row python);
+    # >>1 keeps values in the positive int64 range for the state column
+    import numpy as np
+
+    h = pd.util.hash_pandas_object(s.astype(str), index=False).to_numpy(dtype="uint64")
+    return (h >> np.uint64(1)).astype("int64")
+
+
+def _kmv_count(kmv: list[int]) -> int:
+    if len(kmv) < _KMV_K:
+        return len(kmv)
+    return int((_KMV_K - 1) * (1 << 63) / kmv[-1])
 
 
 def _update(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n_events, n_docs, total = state.get if state.exists else (0, 0, 0)
-    seen_docs = n_docs  # approximate: count distinct within lifetime via state
-    docs: set = set()
+    n_events, total, kmv = state.get if state.exists else (0, 0, [])
+    seen = set(kmv or [])
     for pdf in batches:
         n_events += len(pdf)
-        docs.update(pdf["doc_id"].dropna())
+        docs = pdf["doc_id"].dropna()
+        if len(docs):
+            seen.update(int(x) for x in _doc_hashes(docs))
         total += int(pdf["n_tok"].fillna(0).sum())
-    n_docs = seen_docs + len(docs)
-    state.update((n_events, n_docs, total))
+    kmv = sorted(seen)[:_KMV_K]
+    state.update((n_events, total, kmv))
     yield pd.DataFrame(
         {
             "source": [key[0]],
             "n_events": [n_events],
-            "n_docs_seen": [n_docs],
+            "n_docs_seen": [_kmv_count(kmv)],
             "total_tokens": [total],
         }
     )

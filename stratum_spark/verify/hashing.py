@@ -83,6 +83,36 @@ class Receipt:
         )
 
 
+_N_LANES = 4
+_MASK32 = (1 << 32) - 1
+
+
+def commutative_digest_aggs(h: Column) -> list[Column]:
+    """The commutative per-group digest state over a row-hash column:
+    per-lane XOR + per-lane 32-bit-masked SUM + COUNT (9 aggregates).
+    Each is a partial aggregate (map-side combine) with O(1) state --
+    never an unbounded buffer like collect_list."""
+    lanes = [F.xxhash64(h, F.lit(i)) for i in range(_N_LANES)]
+    aggs: list[Column] = []
+    for i, ln in enumerate(lanes):
+        aggs.append(F.bit_xor(ln).alias(f"x{i}"))
+    for i, ln in enumerate(lanes):
+        aggs.append(F.sum(ln.bitwiseAND(F.lit(_MASK32))).alias(f"s{i}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    return aggs
+
+
+def digest_row_to_root(row) -> str:
+    """Fold one digest-state row (x0..x3, s0..s3, n) into a hex root."""
+    import hashlib
+
+    # empty groups yield NULL xor/sum aggregates -> canonical zero state
+    parts = [str(int(row[f"x{i}"] or 0)) for i in range(_N_LANES)]
+    parts += [str(int(row[f"s{i}"] or 0)) for i in range(_N_LANES)]
+    parts.append(str(int(row["n"] or 0)))
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()
+
+
 def merkle_receipt(
     df: DataFrame, key: str, n_buckets: int = 64, cols: list[str] | None = None
 ) -> Receipt:
@@ -94,13 +124,10 @@ def merkle_receipt(
     per_bucket = (
         df.select(bucket.alias("__b"), h.alias("__h"))
         .groupBy("__b")
-        .agg(
-            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("__h"))), 256).alias("root"),
-            F.count("*").alias("n"),
-        )
+        .agg(*commutative_digest_aggs(F.col("__h")))
         .collect()
     )
-    roots = {int(r["__b"]): r["root"] for r in per_bucket}
+    roots = {int(r["__b"]): digest_row_to_root(r) for r in per_bucket}
     n_rows = int(sum(r["n"] for r in per_bucket))
     acc = hashlib.sha256()
     for b in sorted(roots):

@@ -92,3 +92,34 @@ def test_is_null(spark, df):
 
 def test_modulo_sign(spark, df):
     assert evl(df, Bin("%", Ident("a"), Ident("b"))) == [1, -1, 1, None]
+
+
+def test_decimal_arithmetic_exact(spark):
+    """Exact decimal semantics through the expression layer (the reference
+    evaluates money math in BigDecimal, eval/binary.rs:160-194): 0.1 + 0.2
+    equals 0.3 EXACTLY in DecimalType where IEEE doubles would not, and
+    products keep exact scale."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.functions.expr import Bin, Ident, Lit, compile_expr
+
+    df = spark.createDataFrame(
+        [("0.1", "0.2", "19.99", "3")], "a string, b string, price string, qty string"
+    ).select(
+        F.col("a").cast("decimal(10,4)").alias("a"),
+        F.col("b").cast("decimal(10,4)").alias("b"),
+        F.col("price").cast("decimal(10,2)").alias("price"),
+        F.col("qty").cast("decimal(10,0)").alias("qty"),
+    )
+    out = df.select(
+        compile_expr(Bin("+", Ident("a"), Ident("b")), df).alias("s"),
+        compile_expr(Bin("*", Ident("price"), Ident("qty")), df).alias("p"),
+        compile_expr(Bin("==", Bin("+", Ident("a"), Ident("b")), Lit(0.3)), df).alias("eq"),
+    ).first()
+    from decimal import Decimal
+
+    assert out["s"] == Decimal("0.3000")
+    assert out["p"] == Decimal("59.97")
+    assert out["eq"] is True
+    # the float contrast: the same sum in doubles is NOT 0.3
+    assert 0.1 + 0.2 != 0.3

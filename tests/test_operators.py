@@ -52,6 +52,46 @@ def test_minhash_lsh_finds_planted_neardup(spark, docs):
     assert (first_id, 888_888) in pairs
 
 
+def test_ngram_hot_shingle_capped(spark):
+    """A stop-gram shared by EVERY doc must not explode the candidate join:
+    with max_df binding, the hot posting list is cut, while true near-dups
+    (which also share rare shingles) are still found with EXACT jaccard."""
+    n = 1000
+    rows = [(i, f"common stop phrase unique{i} word{i} tail{i} end{i}") for i in range(n)]
+    rows.append((n, rows[7][1]))  # exact dup of doc 7 -> jaccard 1.0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(docs, n=3, tau=0.5, max_df=100).collect()
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out} == {(7, n, 1.0)}
+
+
+def test_simhash_band_split_pigeonhole(spark):
+    """Property: for ANY pair of 64-bit signatures within the configured
+    Hamming radius, at least one interleaved sub-band matches exactly --
+    the recall guarantee simhash_pairs' blocking relies on."""
+    import random
+
+    max_hamming = 7
+    n_bands = max_hamming + 1
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        h = rng.getrandbits(63)  # bit 63 clear: both values stay valid int64
+        mask = 0
+        for b in rng.sample(range(63), max_hamming):
+            mask |= 1 << b
+        rows.append((h, h ^ mask))  # XOR popcount == max_hamming exactly
+    df = spark.createDataFrame(rows, "a long, b long")
+    band_eq = [
+        (
+            dedup._simhash_band(F.col("a"), b, n_bands)
+            == dedup._simhash_band(F.col("b"), b, n_bands)
+        ).cast("int")
+        for b in range(n_bands)
+    ]
+    misses = df.where(sum(band_eq[1:], band_eq[0]) == 0).count()
+    assert misses == 0
+
+
 def test_simhash_properties(spark, docs):
     sh = docs.select(F.col("doc_id"), dedup.simhash64(F.col("text")).alias("h"))
     # deterministic

@@ -47,3 +47,29 @@ def test_plan_report_missing_destination(spark, sf_dir):
     spec = PipelineSpec(name="p2", source="orders", destination="nope")
     rep = plan_report([spec], cat, warehouse={})["p2"]
     assert any(d.level == "error" and "unknown destination" in d.message for d in rep.diagnostics)
+
+
+def test_plan_duration_estimate(spark, sf_dir, tmp_path):
+    """The planner publishes a duration estimate built from the reference's
+    cost-model priors (estimator.rs:22-60): present, positive, scaling with
+    row count, and degraded by join count."""
+    from stratum_spark.plans.report import estimate_duration, plan_report
+
+    cat = Catalog(spark, {n: f"{sf_dir}/{n}.parquet" for n in ["orders", "customer"]})
+    wh = {"d": LakeTable.create(spark, str(tmp_path / "d"), "order_id bigint")}
+    spec = PipelineSpec(
+        name="p3", source="orders", destination="d",
+        mappings=(("order_id", "o_orderkey"),), copy_columns="MAP_ONLY",
+    )
+    rep = plan_report([spec], cat, wh)["p3"]
+    assert rep.estimated_duration_s > 0
+    assert rep.estimate_detail["rows"] == rep.source_rows
+
+    # scales linearly in rows, monotonically worse with joins/exprs
+    e1 = estimate_duration(1_000_000, n_joins=0, n_exprs=0)
+    e2 = estimate_duration(10_000_000, n_joins=0, n_exprs=0)
+    assert e2["row_phase_s"] / e1["row_phase_s"] == 10.0
+    e3 = estimate_duration(1_000_000, n_joins=3, n_exprs=25)
+    assert e3["total_s"] > e1["total_s"]
+    # rate floor (the reference's MIN_SAFE guard)
+    assert estimate_duration(100, 99, 99)["rate_rows_per_s"] >= 100.0

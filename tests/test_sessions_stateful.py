@@ -69,6 +69,7 @@ def test_stateful_running_stats_stream(spark, tmp_path):
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.coalesce(F.col("n_tok").cast("long"), F.lit(0))).alias("total_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
         )
         .collect()
     }
@@ -76,6 +77,9 @@ def test_stateful_running_stats_stream(spark, tmp_path):
     for s, w in want.items():
         assert got[s]["n_events"] == w["n_events"], s
         assert got[s]["total_tokens"] == w["total_tokens"], s
+        # docs re-seen across micro-batches must not double-count: the KMV
+        # sketch is exact below its K=256 capacity (100 docs here)
+        assert got[s]["n_docs_seen"] == w["n_docs"], s
 
 
 def test_ivf_topk_recall(spark, sf_dir):

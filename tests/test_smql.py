@@ -129,6 +129,83 @@ def test_execute_adapted_smql_on_testdata(spark, sf_dir, tmp_path):
     assert "premium" in tiers and "budget" in tiers
 
 
+def test_lifecycle_hooks_execute_around_pipeline(spark, sf_dir, tmp_path):
+    """Ports the reference's before/after-hook scenario (migrate_staff_with_
+    hooks, examples/configs/plan-generation.smql:556-586; executed by
+    orchestrator.rs:76-93): before-hook SQL runs ahead of the data phase,
+    after-hook SQL runs once the write committed and sees the destination's
+    post-write state."""
+    from stratum_spark.plans.smql import run_document
+
+    text = """
+    pipeline "orders_hooked" {
+        from { connection = connection.src  table = "orders" }
+        to   { connection = connection.dst  table = "orders_out" }
+
+        before {
+            sql = [
+                "CREATE OR REPLACE TEMP VIEW hook_before AS SELECT count(*) AS n FROM orders"
+            ]
+        }
+
+        after {
+            sql = [
+                "CREATE OR REPLACE TEMP VIEW hook_after AS SELECT count(*) AS n FROM orders_out",
+                "CREATE OR REPLACE TEMP VIEW hook_after2 AS SELECT 42 AS marker"
+            ]
+        }
+
+        where "big" { orders.o_totalprice > 100000.0 }
+
+        select {
+            order_id = orders.o_orderkey
+            total    = orders.o_totalprice
+        }
+
+        settings { copy_columns = "MAP_ONLY" }
+    }
+    """
+    doc = parse_smql(text)
+    assert doc.hooks["orders_hooked"]["before"]
+    assert len(doc.hooks["orders_hooked"]["after"]) == 2
+    cat = Catalog(spark, {"orders": f"{sf_dir}/orders.parquet"})
+    wh = {
+        "orders_out": LakeTable.create(
+            spark, str(tmp_path / "oo"), "order_id bigint, total double"
+        )
+    }
+    res = run_document(doc, cat, wh)["orders_hooked"]
+    assert res.error is None
+    assert len(res.hooks_run) == 3 and res.hooks_run[0].startswith("before:")
+    n_src = spark.sql("SELECT n FROM hook_before").first()["n"]
+    n_dst = spark.sql("SELECT n FROM hook_after").first()["n"]
+    assert n_src == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert n_dst == res.rows_written > 0  # after-hook saw the post-write state
+    assert spark.sql("SELECT marker FROM hook_after2").first()["marker"] == 42
+
+
+def test_failing_before_hook_blocks_data_phase(spark, sf_dir, tmp_path):
+    from stratum_spark.plans.smql import run_document
+
+    text = """
+    pipeline "orders_badhook" {
+        from { connection = connection.src  table = "orders" }
+        to   { connection = connection.dst  table = "orders_out2" }
+        before { sql = ["SELECT * FROM this_table_does_not_exist"] }
+        select { order_id = orders.o_orderkey }
+        settings { copy_columns = "MAP_ONLY" }
+    }
+    """
+    doc = parse_smql(text)
+    cat = Catalog(spark, {"orders": f"{sf_dir}/orders.parquet"})
+    wh = {
+        "orders_out2": LakeTable.create(spark, str(tmp_path / "oo2"), "order_id bigint")
+    }
+    res = run_document(doc, cat, wh)["orders_badhook"]
+    assert res.error is not None
+    assert wh["orders_out2"].row_count() == 0  # data phase never ran
+
+
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference examples not present")
 def test_parse_all_reference_example_configs():
     """Every .smql config the reference ships must parse into runnable

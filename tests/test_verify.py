@@ -76,3 +76,36 @@ def test_tamper_in_token_array(spark):
     assert not verify_receipt(t, "id", r)["match"]
     d = row_diff(df, t, "id").collect()
     assert [(x["id"], x["status"]) for x in d] == [(100, "modified")]
+
+
+def test_per_epoch_receipts_persisted_during_apply(spark, tmp_path):
+    """The applier persists a batch receipt per epoch DURING apply (the
+    reference persists receipts in-run, producer/components/integrity.rs:
+    75-89): one JSON per committed epoch, deterministic across a replay of
+    the same feed, plus the on-demand full-table receipt still verifies."""
+    from stratum_spark.cdc import CdcApplier, generate_binlog, write_binlog
+
+    feed = generate_binlog(spark, n_docs=80, n_events=400, seed=5, max_tokens=8,
+                           with_evolution=False)
+    write_binlog(feed, str(tmp_path / "binlog"), n_chunks=2)
+    ap = CdcApplier(spark, str(tmp_path / "wh"), job_id="rcpt", n_buckets=4,
+                    evolution=[], integrity=True)
+    stats = ap.run_backfill(str(tmp_path / "binlog"), epoch_size=100)
+    applied = [s for s in stats if not s.skipped]
+    receipts = ap.epoch_receipts()
+    assert len(receipts) == len(applied) > 1
+    by_epoch = {r["epoch"]: r for r in receipts}
+    for s in applied:
+        # the receipt hashes the LWW-DEDUPED change batch (what the merge
+        # consumed): at most one row per key, never more than rows_in
+        assert 0 < by_epoch[s.epoch]["n_rows"] <= s.rows_in - s.rows_dlq
+        assert by_epoch[s.epoch]["n_rows"] >= s.rows_deduped
+    # the digest is a pure function of the applied batch: a fresh warehouse
+    # replaying the same feed produces identical per-epoch roots
+    ap2 = CdcApplier(spark, str(tmp_path / "wh2"), job_id="rcpt", n_buckets=4,
+                     evolution=[], integrity=True)
+    ap2.run_backfill(str(tmp_path / "binlog"), epoch_size=100)
+    assert [r["root"] for r in ap2.epoch_receipts()] == [r["root"] for r in receipts]
+    # full-table receipt + verify stay green alongside
+    ap.receipt()
+    assert ap.verify()["match"]
