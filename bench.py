@@ -28,8 +28,17 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "1000000"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+# 8M events in 2M-event epochs: after round 2 cut the per-epoch serial
+# floor to ~2 s, smaller epochs finish in ~4-6 s even at 4 cores --
+# overhead-dominated at every core count, so strong scaling was invisible.
+# Epochs must be compute-dominated for the N vs 4N comparison to measure
+# the engine rather than the commit floor.
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "8000000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "800000"))
+# headline ingest mode: merge-on-read delta appends + end compaction (the
+# O(batch)-per-epoch path; state equality with cow is pytest-pinned).
+# Copy-on-write MERGE numbers are measured alongside for the comparison.
+WRITE_MODE = os.environ.get("BENCH_WRITE_MODE", "mor")
 # scaling pair N -> 4N: default 4 -> 16 threads. On this sandbox VM the
 # hypervisor steals 10-60% CPU in waves and JVM thread scaling saturates
 # near the box's 32 vCPUs, so the pair is measured below full saturation;
@@ -55,10 +64,15 @@ HEADLINE_QUERIES = [
 
 def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
     """Subprocess entry: apply the pre-generated binlog at `cores`
-    parallelism, print one JSON result line."""
+    parallelism, print one JSON result line.
+
+    BENCH_WRITE_MODE=mor appends LWW-deduped delta files per epoch and
+    compacts once at the end (merge-on-read) -- the O(batch)-per-epoch
+    ingest path; default cow measures the copy-on-write MERGE."""
     from stratum_spark.cdc import CdcApplier
     from stratum_spark.session import get_spark
 
+    mode = os.environ.get("BENCH_WRITE_MODE", "cow")
     spark = get_spark(f"bench_cdc_{cores}", cores=cores)
     wh = tempfile.mkdtemp(prefix=f"bench_wh_{cores}_")
     try:
@@ -66,10 +80,13 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
         # throughput with epoch pipelining active from the first epoch;
         # schema-evolution correctness is covered by the pytest suites
         ap = CdcApplier(
-            spark, wh, job_id="bench", n_buckets=64, evolution=[], validate=True
+            spark, wh, job_id="bench", n_buckets=64, evolution=[], validate=True,
+            write_mode=mode,
         )
         t0 = time.time()
         stats = ap.run_backfill(binlog_dir, epoch_size=max(10_000, n_events // 4))
+        if mode == "mor":
+            ap.compact_deltas()  # fold once at the end; included in wall
         wall = time.time() - t0
         for s in stats:
             print(
@@ -158,10 +175,26 @@ def _bench_tmp_base() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
-def _run_cdc_at(cores: int, binlog_dir: str, n_events: int, local_dir: str) -> dict:
+def _steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat -- hypervisor CPU-steal
+    evidence attached to every measurement (this VM shows multi-minute
+    waves of 10-60% steal that poison scaling comparisons)."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = list(map(int, parts[1:]))
+        return vals[7], sum(vals)
+    except Exception:
+        return 0, 1
+
+
+def _run_cdc_at(
+    cores: int, binlog_dir: str, n_events: int, local_dir: str, mode: str | None = None
+) -> dict:
     env = dict(os.environ)
     env["STRATUM_SPARK_LOCAL_DIR"] = local_dir
     env["TMPDIR"] = os.path.dirname(binlog_dir)
+    env["BENCH_WRITE_MODE"] = mode or WRITE_MODE
+    s0, t0 = _steal_jiffies()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker-cdc", str(cores), binlog_dir, str(n_events)],
         capture_output=True,
@@ -170,10 +203,13 @@ def _run_cdc_at(cores: int, binlog_dir: str, n_events: int, local_dir: str) -> d
         cwd=REPO,
         env=env,
     )
+    s1, t1 = _steal_jiffies()
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            d = json.loads(line)
+            d["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
+            return d
     raise RuntimeError(f"cdc worker ({cores} cores) produced no result: {out.stderr[-2000:]}")
 
 
@@ -230,6 +266,16 @@ def main() -> None:
         ]
         return max(rates) if rates else (w["events"] / w["wall_sec"])
 
+    def steady_rate(w: dict) -> float:
+        # SUSTAINED post-warmup rate (all epochs after the first): the
+        # scaling-efficiency estimator. A single best epoch can catch a
+        # steal-free window and overstate the low-parallelism level (a
+        # 1M-event epoch at 4 cores occasionally matched 16 cores); the
+        # multi-epoch steady rate integrates over the steal waves, and
+        # taking the best TRIAL per level applies the same noise filter
+        # symmetrically to both levels.
+        return float(w["events_per_sec_steady"]) or (w["events"] / w["wall_sec"])
+
     # interleaved trials per level: the hypervisor's CPU-steal waves last
     # minutes, so a single unlucky run poisons a level; best-epoch across
     # two interleaved trials is the stable capability estimate.
@@ -237,9 +283,16 @@ def main() -> None:
     try:
         runs: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: [], CPUS: []}
         scans: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: []}
+        cow_runs: dict[int, dict] = {}
         for _ in range(trials):
             for c in (SCALE_LO, SCALE_HI):
                 runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
+        # copy-on-write comparison point (one run per level): the same feed
+        # applied as per-epoch CoW MERGE -- write amplification O(table)
+        # per epoch, so expect lower absolute rate and flat scaling
+        if WRITE_MODE != "cow":
+            for c in (SCALE_LO, SCALE_HI):
+                cow_runs[c] = _run_cdc_at(c, binlog_dir, N_EVENTS, local_dir, mode="cow")
         for _ in range(trials):
             for c in (SCALE_LO, SCALE_HI):
                 scans[c].append(_run_scan_at(c, local_dir))
@@ -247,11 +300,11 @@ def main() -> None:
             runs[CPUS].append(_run_cdc_at(CPUS, binlog_dir, N_EVENTS, local_dir))
         else:
             runs[CPUS] = runs[SCALE_HI]
-        # optional weak-scaling exhibit (BENCH_WEAK=1): same cores, half
+        # weak-scaling exhibit (BENCH_WEAK=0 to disable): same cores, half
         # the feed -- near-equal events/sec means per-event cost is flat in
         # data volume, the scaling dimension a cluster actually grows along
         weak = None
-        if os.environ.get("BENCH_WEAK") == "1":
+        if os.environ.get("BENCH_WEAK", "1") == "1":
             half_dir = os.path.join(base, "binlog_half")
             os.makedirs(half_dir, exist_ok=True)
             import glob as _glob
@@ -270,8 +323,10 @@ def main() -> None:
     lo_rate = max(best_rate(w) for w in runs[SCALE_LO])
     hi_rate = max(best_rate(w) for w in runs[SCALE_HI])
     full_rate = max(best_rate(w) for w in runs[CPUS])
+    lo_steady = max(steady_rate(w) for w in runs[SCALE_LO])
+    hi_steady = max(steady_rate(w) for w in runs[SCALE_HI])
     factor = SCALE_HI / SCALE_LO
-    efficiency = round(hi_rate / lo_rate / factor, 3)
+    efficiency = round(hi_steady / lo_steady / factor, 3)
     scan_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
     scan_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
     scan_eff = round(scan_hi / scan_lo / factor, 3)
@@ -286,6 +341,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc": {
+                    "write_mode": WRITE_MODE,
                     "events": hi["events"],
                     "low_parallelism": lo,
                     "high_parallelism": hi,
@@ -293,9 +349,20 @@ def main() -> None:
                     "best_epoch_rate_low": round(lo_rate, 1),
                     "best_epoch_rate_high": round(hi_rate, 1),
                     "best_epoch_rate_full": round(full_rate, 1),
-                    "speedup": round(hi_rate / lo_rate, 3),
+                    "steady_rate_low": round(lo_steady, 1),
+                    "steady_rate_high": round(hi_steady, 1),
+                    "speedup": round(hi_steady / lo_steady, 3),
                     "cores_factor": factor,
                     "scaling_efficiency": efficiency,
+                    "trials": {
+                        str(c): [
+                            {"wall_sec": w["wall_sec"], "steady": w["events_per_sec_steady"],
+                             "epoch_wall_ms": w["epoch_wall_ms"],
+                             "steal_pct": w.get("steal_pct")}
+                            for w in ws
+                        ]
+                        for c, ws in runs.items()
+                    },
                     "weak_scaling": weak,
                     # compute-bound exhibit: the canonical-hash verification
                     # scan (no commit/IO floor) -- engine thread scaling vs
@@ -305,6 +372,12 @@ def main() -> None:
                         "rows_per_sec_high": scan_hi,
                         "scaling_efficiency": scan_eff,
                     },
+                    "cow_comparison": {
+                        str(c): {"wall_sec": w["wall_sec"],
+                                 "steady": w["events_per_sec_steady"],
+                                 "steal_pct": w.get("steal_pct")}
+                        for c, w in cow_runs.items()
+                    } or None,
                 },
                 "total_wall_sec": total,
             }

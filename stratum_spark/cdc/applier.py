@@ -77,6 +77,7 @@ class CdcApplier:
         validate: bool = True,
         lineage_detail: bool = True,
         integrity: bool = True,
+        write_mode: str = "cow",
     ):
         self.lineage_detail = lineage_detail
         # integrity=True persists a per-epoch batch receipt (commutative
@@ -90,6 +91,19 @@ class CdcApplier:
         # batch-id epochs) -- recorded in the bookmark so a cross-mode
         # resume fails loudly (streaming/driver.py guard)
         self.epoch_mode = "batch"
+        # write_mode 'cow': each epoch is a copy-on-write MERGE (every
+        # touched bucket rewritten -- simple, read-optimal, but with
+        # uniformly distributed keys the write amplification is
+        # table_size/epoch per epoch). 'mor' (merge-on-read): epochs append
+        # LWW-deduped change rows as DELTA files in one exactly-once
+        # commit; readers merge base+deltas with the same LWW rule, and
+        # compact_deltas() periodically folds deltas into the base via the
+        # ordinary MERGE. This is the Hudi/Iceberg-v2-delete-file shape a
+        # 10^10-event ingest needs: the hot path writes O(batch), not
+        # O(table).
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode {write_mode}")
+        self.write_mode = write_mode
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         self.job_id = job_id
@@ -130,6 +144,19 @@ class CdcApplier:
             if LakeTable.exists(dlq_root)
             else LakeTable.create(spark, dlq_root, DLQ_DDL, n_buckets=1)
         )
+        self.deltas: LakeTable | None = None
+        if write_mode == "mor":
+            # delta table: target schema + the change op, bucketed on the
+            # same key expression as the base so compaction's merge and the
+            # read-path union stay co-partitioned
+            del_root = os.path.join(self.warehouse, "tokens_deltas")
+            if LakeTable.exists(del_root):
+                self.deltas = LakeTable.load(spark, del_root)
+            else:
+                self.deltas = LakeTable.create(
+                    spark, del_root, TOKENS_DDL + ", op string",
+                    key="doc_id", n_buckets=n_buckets,
+                )
         # lineage appends run on a dedicated single worker thread: they are
         # off the epoch critical path (nothing in the loop reads lineage)
         # and the single thread serializes snapshot commits on the lineage
@@ -155,8 +182,19 @@ class CdcApplier:
         for step in sorted(self.evolution, key=lambda s: s["ver"]):
             if cur < step["ver"] <= target_ver:
                 getattr(self.tokens, step["action"])(*step["args"])
+                if self.deltas is not None:
+                    # delta schema evolves in lockstep (same field ids by
+                    # name), so base ∪ deltas unions cleanly at read time
+                    getattr(self.deltas, step["action"])(*step["args"])
                 self.tokens.set_properties({"schema_ver": str(step["ver"])})
                 cur = step["ver"]
+
+    @property
+    def _bookmark_table(self) -> LakeTable:
+        """Exactly-once state lives with the table the epoch commit writes:
+        the base for copy-on-write merges, the delta table for merge-on-read
+        appends."""
+        return self.deltas if self.write_mode == "mor" else self.tokens
 
     def _source_col_name(self) -> str:
         """Current name of the original 'source' column (rename-aware)."""
@@ -182,7 +220,7 @@ class CdcApplier:
         """Reject a resume whose bookmark was written by the OTHER epoch
         namespace (batch lsn-range epochs vs streaming batch-id epochs) --
         continuing would silently skip or replay data."""
-        committed = self.tokens.snapshot().committed.get(self.job_id)
+        committed = self._bookmark_table.snapshot().committed.get(self.job_id)
         if committed is not None and committed.get("mode", "batch") != self.epoch_mode:
             raise ValueError(
                 f"job_id {self.job_id!r} bookmark was written in "
@@ -212,7 +250,7 @@ class CdcApplier:
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()
-        if epoch <= self.tokens.committed_epoch(self.job_id):
+        if epoch <= self._bookmark_table.committed_epoch(self.job_id):
             return None
 
         bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
@@ -222,6 +260,11 @@ class CdcApplier:
         try:
             pending_evo = self.evolution_pending()
             bexpr = self.tokens._bucket_expr("doc_id")
+            # touched-bucket discovery must cover every row the merge will
+            # consume: with validation ON, bad rows are diverted to the DLQ
+            # and must NOT pin buckets; with validation OFF they merge like
+            # any other row and their buckets must be rewritten
+            touched_expr = F.when(~bad_pred, bexpr) if self.validate else bexpr
 
             def parts_job():
                 return (
@@ -234,7 +277,7 @@ class CdcApplier:
                         F.sum(bad_pred.cast("long")).alias("n_bad"),
                         # touched buckets ride the same partial agg: a set of
                         # <= n_buckets ints per partition, unioned driver-side
-                        F.collect_set(F.when(~bad_pred, bexpr)).alias("bs"),
+                        F.collect_set(touched_expr).alias("bs"),
                     )
                     .collect()
                 )
@@ -287,7 +330,14 @@ class CdcApplier:
             # observation fires on that same scan
             deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
             receipt_obs = None
-            if self.integrity:
+            # Observation.get resolves via a QueryExecutionListener event;
+            # plans executed INSIDE foreachBatch (streaming micro-batches)
+            # never deliver that event, so .get would park the stream
+            # execution thread forever (observed empirically: the stream
+            # thread blocks in Observation.getRow). Batch backfill gets the
+            # zero-extra-job receipt; streaming receipts would need the
+            # StreamingQueryProgress observedMetrics channel instead.
+            if self.integrity and self.epoch_mode != "stream":
                 from pyspark.sql import Observation
 
                 from stratum_spark.verify.hashing import (
@@ -332,16 +382,32 @@ class CdcApplier:
             rows_in = sum(int(p["rows_in"]) for p in parts)
             lsn_max = max(int(p["lsn_max"]) for p in parts)
             touched = sorted({int(b) for p in parts for b in (p["bs"] or [])})
-            mstats = self.tokens.merge(
-                prep["deduped"],
-                op_col="op",
-                job_id=self.job_id,
-                epoch=epoch,
-                lsn_max=lsn_max,
-                precedence_col="lsn",
-                touched=touched,
-                epoch_mode=self.epoch_mode,
-            )
+            if self.write_mode == "mor":
+                t_merge = time.time()
+                n_appended = self.deltas.append_epoch(
+                    prep["deduped"],
+                    job_id=self.job_id,
+                    epoch=epoch,
+                    lsn_max=lsn_max,
+                    epoch_mode=self.epoch_mode,
+                )
+                mstats = MergeStats(
+                    epoch_skipped=False,
+                    rows_inserted=n_appended,
+                    buckets_touched=len(touched),
+                    wall_ms=int((time.time() - t_merge) * 1000),
+                )
+            else:
+                mstats = self.tokens.merge(
+                    prep["deduped"],
+                    op_col="op",
+                    job_id=self.job_id,
+                    epoch=epoch,
+                    lsn_max=lsn_max,
+                    precedence_col="lsn",
+                    touched=touched,
+                    epoch_mode=self.epoch_mode,
+                )
             n_dlq = prep["dlq_future"].result() if prep["dlq_future"] is not None else 0
             if mstats.epoch_skipped:
                 # replayed epoch: the merge never scanned the batch, so the
@@ -453,6 +519,7 @@ class CdcApplier:
         stop_after: int | None = None,
         max_lsn: int | None = None,
         pipelined: bool = False,
+        compact_every: int | None = None,
     ) -> list[EpochStats]:
         """Batch-mode apply: the feed is consumed as consecutive lsn-range
         epochs (keyset pagination generalized -- stratum Cursor::Numeric,
@@ -476,7 +543,7 @@ class CdcApplier:
         if max_lsn is None:
             max_lsn = feed.agg(F.max("lsn")).collect()[0][0] or 0
         out: list[EpochStats] = []
-        start_epoch = self.tokens.committed_epoch(self.job_id) + 1
+        start_epoch = self._bookmark_table.committed_epoch(self.job_id) + 1
         n_epochs = (max_lsn + epoch_size - 1) // epoch_size
         done = 0
         for ep in range(start_epoch, n_epochs):
@@ -484,6 +551,8 @@ class CdcApplier:
             sl = feed.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
             out.append(self.apply_epoch(sl, ep))
             done += 1
+            if compact_every and done % compact_every == 0:
+                self.compact_deltas()
             if stop_after is not None and done >= stop_after:
                 break
         self.flush_lineage()
@@ -501,7 +570,7 @@ class CdcApplier:
         feed = self.spark.read.parquet(binlog_path)
         if max_lsn is None:
             max_lsn = feed.agg(F.max("lsn")).collect()[0][0] or 0
-        start_epoch = self.tokens.committed_epoch(self.job_id) + 1
+        start_epoch = self._bookmark_table.committed_epoch(self.job_id) + 1
         n_epochs = (max_lsn + epoch_size - 1) // epoch_size
         epochs = list(range(start_epoch, n_epochs))
         if stop_after is not None:
@@ -537,8 +606,57 @@ class CdcApplier:
 
     # ------------------------------------------------------------------
     def state(self) -> DataFrame:
-        """Current user-facing table state (system lsn column dropped)."""
-        return self.tokens.read().drop("lsn")
+        """Current user-facing table state (system lsn column dropped).
+
+        cow: the base table IS the state. mor: merge-on-read -- the base
+        (implicit op='U') unions the delta files and the SAME LWW rule the
+        writer uses resolves each key to its highest-lsn row; 'D' winners
+        drop out. One hash aggregate over base+deltas, co-bucketed on the
+        key. compact_deltas() bounds the delta fraction, exactly like
+        Iceberg v2 read-merge + rewrite_data_files."""
+        if self.write_mode != "mor":
+            return self.tokens.read().drop("lsn")
+        return self.state_with_lsn().drop("lsn")
+
+    def state_with_lsn(self) -> DataFrame:
+        if self.write_mode != "mor":
+            return self.tokens.read()
+        base = self.tokens.read().withColumn("op", F.lit("U"))
+        merged = lww_dedup(
+            base.unionByName(self.deltas.read()), key="doc_id", order_col="lsn"
+        )
+        return merged.where(F.col("op") != "D").drop("op")
+
+    def compact_deltas(self) -> MergeStats | None:
+        """Fold accumulated delta files into the base via the ordinary
+        bucket-pruned MERGE, then truncate the delta table (Iceberg
+        rewrite_data_files / Hudi compaction analog). Crash-safe without a
+        cross-table transaction: the merge carries a '<job>::compact'
+        bookmark at the delta table's committed epoch, so a crash between
+        merge and truncate re-skips the merge and just truncates; a re-run
+        over a delta set that was already partially applied is a no-op row
+        by row (LWW dedup picks each key's max-lsn event; the merge's lsn
+        precedence guard drops stale matches; deletes of missing keys do
+        nothing). Runs from the apply loop -- not concurrent with appends."""
+        if self.write_mode != "mor":
+            return None
+        target_epoch = self.deltas.committed_epoch(self.job_id)
+        if target_epoch < 0:
+            return None
+        deltas = self.deltas.read()
+        deduped = lww_dedup(deltas, key="doc_id", order_col="lsn")
+        mstats = self.tokens.merge(
+            deduped,
+            op_col="op",
+            job_id=f"{self.job_id}::compact",
+            epoch=target_epoch,
+            precedence_col="lsn",
+        )
+        # truncate: a metadata-only snapshot referencing zero files
+        self.deltas.overwrite(
+            self.spark.createDataFrame([], self.deltas.snapshot().schema.spark_schema())
+        )
+        return mstats
 
     def receipt(self, n_buckets: int = 64):
         """Merkle receipt over the user-facing state (stratum `apply
@@ -570,7 +688,7 @@ class CdcApplier:
 
     def epoch_state(self) -> dict:
         return {
-            "epoch": self.tokens.committed_epoch(self.job_id),
-            "lsn": self.tokens.committed_lsn(self.job_id),
+            "epoch": self._bookmark_table.committed_epoch(self.job_id),
+            "lsn": self._bookmark_table.committed_lsn(self.job_id),
             "schema_ver": self._table_schema_ver(),
         }

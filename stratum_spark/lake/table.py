@@ -472,6 +472,53 @@ class LakeTable:
         self._append_files_with_retry(entries)
         return sum(e.rows for e in entries)
 
+    def append_epoch(
+        self,
+        df: DataFrame,
+        job_id: str,
+        epoch: int,
+        lsn_max: int | None = None,
+        epoch_mode: str | None = None,
+        passthrough: tuple[str, ...] = (),
+    ) -> int:
+        """Exactly-once APPEND: the data files and the (job_id, epoch)
+        bookmark commit in ONE snapshot, so a replayed epoch appends
+        nothing. This is the merge-on-read delta write path: an epoch's
+        change rows land as append-only delta files (with their op/lsn
+        columns carried via `passthrough`), deferring the merge to readers
+        and the compactor -- the write amplification of copy-on-write MERGE
+        (every touched bucket rewritten per epoch) disappears from the
+        ingest hot path. Returns rows appended (0 if the epoch replayed)."""
+        snap = self.snapshot()
+        last = snap.committed.get(job_id, {}).get("epoch", -1)
+        if epoch <= last:
+            return 0
+        aligned = self._align(df, snap.schema, passthrough=passthrough)
+        if snap.key:
+            aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
+        else:
+            aligned = aligned.withColumn(
+                _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
+            )
+        entries = self._write_data(aligned, snap)
+        committed = dict(snap.committed)
+        committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
+        if epoch_mode is not None:
+            committed[job_id]["mode"] = epoch_mode
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=snap.files + entries,
+            committed=committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return sum(e.rows for e in entries)
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace write-mode: new snapshot referencing only the new files."""
         snap = self.snapshot()
@@ -737,6 +784,15 @@ class LakeTable:
 
     def row_count(self) -> int:
         return sum(e.rows for e in self.snapshot().files)
+
+    def drop(self) -> None:
+        """DROP TABLE: delete all data files, metadata, and the table root
+        (stratum DROP TABLE, SURVEY §2.6). Irreversible; the handle is
+        unusable afterwards."""
+        import shutil
+
+        shutil.rmtree(self.root)
+        self._snap = None
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Garbage-collect history: keep the newest `keep_last` snapshot

@@ -87,6 +87,9 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
     ).where(F.size("shingles") > 0)
+    # NOTE: caching sh here was measured SLOWER (columnar encode of
+    # array<string> costs more than recomputing the shingles per branch) --
+    # deliberately recomputed; revisit with DISK_ONLY at lake scale
     inv = sh.select("doc_id", F.explode("shingles").alias("g"))
     # posting-list frequency cut: df computed with one partial-agg shuffle
     inv = inv.withColumn("df", F.count("*").over(Window.partitionBy("g")))
@@ -104,10 +107,29 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
-    """k minhashes: sig[i] = min over shingles of xxhash64(shingle, i)."""
+    """k minhashes as an array column: sig[i] = min over shingles of
+    xxhash64(shingle, i). NOTE: nested higher-order functions run in
+    Spark's INTERPRETED expression path (outside whole-stage codegen) --
+    fine for ad-hoc use on one column, but minhash_lsh_pairs uses the
+    explode+groupBy formulation below, which stays fully codegen'd and
+    hashes each shingle string only once (~10x faster measured)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def _minhash_mins(sh: DataFrame, k: int) -> DataFrame:
+    """(doc_id, m0..m{k-1}) via explode + flat aggregate: each shingle
+    STRING is hashed once (base = xxhash64(g)); the k streams derive from
+    the 8-byte base (xxhash64(base, i)), and all k mins compute in one
+    codegen'd partial-agg pass -- map-side combine, one shuffle of k longs
+    per doc."""
+    inv = sh.select(F.col("doc_id"), F.explode("shingles").alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("base")
+    )
+    return inv.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("base"), F.lit(i))).alias(f"m{i}") for i in range(k)]
     )
 
 
@@ -119,22 +141,25 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) for verified candidates."""
     r = k // bands
     sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles"))
-    sh = sh.where(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    sh = sh.where(F.size("shingles") > 0)  # recompute-per-branch beats caching (see above)
+    mins = _minhash_mins(sh, k)
     # band rows carry (doc_id, band, bh) ONLY -- the shingle arrays rejoin
     # after candidate dedup (_verify_jaccard), so the (band-key) shuffle
-    # payload stays ~24 bytes/row regardless of document size
-    banded = sig.select(
+    # payload stays ~24 bytes/row regardless of document size. Band hash =
+    # one native xxhash64 over the band's r min-columns (flat codegen).
+    banded = mins.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), bi * r + 1, r))).alias(
-                        "bh"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * r + j}") for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -153,9 +178,39 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): the same 64-bit SimHash simhash64() defines, computed
+    via explode + one flat codegen'd aggregate pass (64 vote sums with
+    map-side combine) instead of nested higher-order functions, which run
+    interpreted. Bit-for-bit identical to simhash64(): same token split,
+    same xxhash64 token hash, same majority vote."""
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.call_function("shiftright", F.col("h"), F.lit(i)).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    sh = None
+    for i in range(64):
+        # bit 63 of a signed long is the sign bit: 1<<63 == long min value
+        bit_val = F.lit(-(2**63)) if i == 63 else F.lit(1 << i).cast("long")
+        b = F.when(F.col(f"v{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        sh = b if sh is None else sh.bitwiseOR(b)
+    return votes.select("doc_id", sh.alias("sh"))
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash: bit i set iff the majority of token-hash bits i are 1.
-    Pure Column expression: per-bit vote via aggregate over the token array."""
+    Pure Column expression: per-bit vote via aggregate over the token array.
+    (Column-API form; simhash_pairs uses the equivalent _simhash_frame
+    explode+aggregate formulation, which stays inside whole-stage codegen.)"""
     toks = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
@@ -211,7 +266,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     from max_hamming rather than fixed at 4 (which would silently
     under-recall for distances > 3)."""
     n_bands = max_hamming + 1
-    sh = docs.select(F.col("doc_id"), simhash64(F.col("text")).alias("sh"))
+    sh = _simhash_frame(docs)
     banded = sh.select(
         "doc_id",
         "sh",

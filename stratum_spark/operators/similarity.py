@@ -85,6 +85,42 @@ def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42) -> Colu
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def _bucket_frame(
+    emb: DataFrame, n_tables: int, n_planes: int, seed: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, tbl, bucket) sign-bucket assignments for every (vector, table)
+    pair, computed via posexplode + flat codegen aggregates: one row per
+    (id, table, dim) with weight w(tbl,p,d) = (xxhash64(tbl,p,d,seed) %
+    2001)/1000, summed per plane in a single partial-agg pass. The nested
+    zip_with/aggregate formulation evaluates in Spark's interpreted
+    expression path (outside whole-stage codegen) and measured ~10x slower;
+    this shape keeps every operator codegen'd and map-side combined."""
+    d = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select(
+        "id",
+        "d",
+        F.col("x").cast("double").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
+    )
+    aggs = []
+    for p in range(n_planes):
+        w = (
+            F.xxhash64(F.col("tbl"), F.lit(p), F.col("d"), F.lit(seed)) % 2001
+        ).cast("double") / 1000.0
+        aggs.append(F.sum(F.col("x") * w).alias(f"dot{p}"))
+    dots = d.groupBy("id", "tbl").agg(*aggs)
+    bucket = None
+    for p in range(n_planes):
+        bit = (
+            F.when(F.col(f"dot{p}") > 0, F.lit(1 << p).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return dots.select("id", "tbl", bucket.alias("bucket"))
+
+
 def lsh_topk(
     emb: DataFrame,
     n_queries: int = 8,
@@ -100,24 +136,16 @@ def lsh_topk(
     independent sign-bucket tables), exact cosine within candidates.
     The 100 TB path: shuffle keyed on (table, bucket) instead of a cross
     product; recall tuned by (n_planes, n_tables)."""
-    sigd = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
-    ).withColumn(
-        # per-table independent planes: table id folded into the hash stream
-        "bucket",
-        _table_signature(F.col("v"), F.col("tbl"), n_planes, seed),
-    )
+    sigd = _bucket_frame(emb, n_tables, n_planes, seed, id_col, vec_col)
     q = sigd.where(F.col("id") < n_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("id").alias("query_id"),
         F.col("tbl").alias("qt"), F.col("bucket").alias("qb"),
     )
     # candidate ids only through the xN-tables dedup shuffle; vectors rejoin
     # AFTER dropDuplicates so OR-amplification never multiplies the payload
     c = sigd.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
     cand = (
-        F.broadcast(q.drop("qv"))
+        F.broadcast(q)
         .join(
             c,
             (F.col("qt") == F.col("tbl"))
@@ -148,29 +176,6 @@ def lsh_topk(
     )
 
 
-def _table_signature(v: Column, tbl: Column, n_planes: int, seed: int) -> Column:
-    """Sign signature with planes keyed by (table, plane, dim)."""
-    vd = _dbl(v)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(
-                    vd,
-                    F.sequence(F.lit(0), F.size(vd) - 1),
-                    lambda x, d: x
-                    * ((F.xxhash64(tbl, p, d, F.lit(seed)) % 2001).cast("double") / 1000.0),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.call_function("shiftleft", F.lit(1).cast("long"), p.cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
-
-
 def embedding_neardup_pairs(
     emb: DataFrame,
     tau: float = 0.95,
@@ -198,11 +203,7 @@ def embedding_neardup_pairs(
             .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
             .where(F.col("sim") >= tau)
         )
-    sigd = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").alias("v"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
-    ).select("id", "tbl", _table_signature(F.col("v"), F.col("tbl"), n_planes, seed).alias("bucket"))
+    sigd = _bucket_frame(emb, n_tables, n_planes, seed, "vec_id", "embedding")
     a, b = sigd.alias("a"), sigd.alias("b")
     cand = (
         a.join(

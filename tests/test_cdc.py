@@ -134,3 +134,23 @@ def test_pipelined_backfill_matches_serial(spark, binlog_dir, tmp_path):
     stats = ap_p.run_backfill(binlog_dir, epoch_size=EPOCH, pipelined=True)
     assert all(not s.skipped for s in stats)
     assert collect_state(ap_p) == collect_state(ap_s)
+
+
+def test_backfill_validate_off_no_duplicate_keys(spark, tmp_path):
+    """With validation OFF, invalid rows merge like any other row -- their
+    buckets must still be discovered as touched, otherwise the merge writes
+    a key into a bucket whose old files were kept and the key duplicates."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.cdc import CdcApplier, generate_binlog, write_binlog
+
+    feed = generate_binlog(spark, n_docs=60, n_events=300, seed=11, max_tokens=8,
+                           with_evolution=False)
+    write_binlog(feed, str(tmp_path / "b"), n_chunks=1)
+    assert feed.where((F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))).count() > 0
+    ap = CdcApplier(spark, str(tmp_path / "wh"), job_id="nv", n_buckets=4,
+                    evolution=[], validate=False)
+    ap.run_backfill(str(tmp_path / "b"), epoch_size=75)
+    st = ap.state()
+    assert st.groupBy("doc_id").count().where("count > 1").count() == 0
+    assert st.count() == st.select("doc_id").distinct().count()

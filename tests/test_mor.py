@@ -1,0 +1,128 @@
+"""Merge-on-read (delta-append) write mode: the O(batch)-per-epoch ingest
+path. Must converge to the IDENTICAL state as copy-on-write merges and the
+sequential replay oracle, across kill-and-resume, replay, schema evolution,
+and compaction at any cadence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stratum_spark.cdc import CdcApplier, generate_binlog, write_binlog
+from stratum_spark.cdc.oracle import replay_binlog, state_as_records
+
+N_EVENTS = 900
+N_DOCS = 150
+
+
+def _mk_feed(spark, tmp_path, with_evolution=True):
+    feed = generate_binlog(
+        spark, n_docs=N_DOCS, n_events=N_EVENTS, seed=21, max_tokens=12,
+        with_evolution=with_evolution,
+    )
+    write_binlog(feed, str(tmp_path / "binlog"), n_chunks=3)
+    return str(tmp_path / "binlog")
+
+
+def _rows(df):
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        d["tokens"] = list(d["tokens"] or [])
+        out[d["doc_id"]] = d
+    return out
+
+
+def test_mor_matches_cow_and_oracle(spark, tmp_path):
+    binlog = _mk_feed(spark, tmp_path)
+    cow = CdcApplier(spark, str(tmp_path / "wc"), job_id="j", n_buckets=8,
+                     n_events_hint=N_EVENTS, write_mode="cow")
+    cow.run_backfill(binlog, epoch_size=200)
+    mor = CdcApplier(spark, str(tmp_path / "wm"), job_id="j", n_buckets=8,
+                     n_events_hint=N_EVENTS, write_mode="mor")
+    mor.run_backfill(binlog, epoch_size=200, compact_every=3)
+
+    got_cow = _rows(cow.state())
+    got_mor = _rows(mor.state())
+    assert got_mor == got_cow
+
+    st = replay_binlog(binlog)
+    want = state_as_records(st, table_schema_ver=mor.epoch_state()["schema_ver"])
+    assert set(got_mor) == set(want)
+    for k, w in want.items():
+        assert got_mor[k]["tokens"] == list(w["tokens"]), k
+
+
+def test_mor_kill_resume_and_replay(spark, tmp_path):
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    wh = str(tmp_path / "w1")
+    ap1 = CdcApplier(spark, wh, job_id="kr", n_buckets=8, evolution=[],
+                     write_mode="mor")
+    ap1.run_backfill(binlog, epoch_size=200, stop_after=2)
+    killed_epoch = ap1.epoch_state()["epoch"]
+    assert killed_epoch == 1
+
+    # resume in a fresh applier converges
+    ap2 = CdcApplier(spark, wh, job_id="kr", n_buckets=8, evolution=[],
+                     write_mode="mor")
+    ap2.run_backfill(binlog, epoch_size=200)
+    st = replay_binlog(binlog)
+    want = state_as_records(st, table_schema_ver=0)
+    got = _rows(ap2.state())
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["tokens"] == list(w["tokens"]), k
+
+    # full replay from epoch 0 is a no-op (exactly-once bookmark on the
+    # delta table): every epoch skips, state unchanged
+    before = got
+    stats = ap2.run_backfill(binlog, epoch_size=200)
+    assert all(s.skipped for s in stats) or stats == []
+    assert _rows(ap2.state()) == before
+
+
+def test_mor_compaction_is_transparent_and_crash_safe(spark, tmp_path):
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "w2"), job_id="cp", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    ap.run_backfill(binlog, epoch_size=150)
+    before = _rows(ap.state())
+    assert ap.deltas.row_count() > 0
+
+    m = ap.compact_deltas()
+    assert m is not None and not m.epoch_skipped
+    assert ap.deltas.row_count() == 0  # truncated
+    assert _rows(ap.state()) == before  # read-path result unchanged
+
+    # the crash window: merge committed, truncate lost -> rerunning
+    # compaction must skip the merge (bookmark) and only truncate; and a
+    # FULL re-merge of an already-applied delta set is a row-level no-op
+    m2 = ap.compact_deltas()
+    assert m2 is not None and m2.epoch_skipped
+    assert _rows(ap.state()) == before
+
+    # deletes survive compaction: deleted docs stay gone
+    st = replay_binlog(binlog)
+    want = state_as_records(st, table_schema_ver=0)
+    assert set(before) == set(want)
+
+
+def test_mor_epoch_write_is_o_batch_not_o_table(spark, tmp_path):
+    """The point of MoR: a delta commit adds O(epoch) rows of files; the
+    base table's files are untouched between compactions."""
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "w3"), job_id="ob", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    stats = ap.run_backfill(binlog, epoch_size=150)
+    applied = [s for s in stats if not s.skipped]
+    # base untouched by appends
+    assert ap.tokens.row_count() == 0
+    # each epoch's delta rows == its deduped (post-DLQ, post-LWW) batch
+    per_epoch = {s.epoch: s for s in applied}
+    snaps = ap.deltas.history()
+    assert ap.deltas.row_count() == sum(s.rows_deduped for s in applied)
+    assert len([s for s in snaps if s.committed]) >= len(applied)
+    # full scan equality still holds via the read path
+    st = replay_binlog(binlog)
+    want = state_as_records(st, table_schema_ver=0)
+    got = _rows(ap.state())
+    assert set(got) == set(want)
