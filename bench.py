@@ -312,7 +312,10 @@ def main() -> None:
             chunks = sorted(_glob.glob(os.path.join(binlog_dir, "chunk-*.parquet")))
             for c in chunks[: len(chunks) // 2]:
                 os.link(c, os.path.join(half_dir, os.path.basename(c)))
-            weak_half = _run_cdc_at(SCALE_HI, half_dir, N_EVENTS // 2, local_dir)
+            # pass the FULL n_events so the worker keeps the same epoch
+            # SIZE (the half feed then runs half as many epochs) -- weak
+            # scaling compares per-event cost at constant per-epoch work
+            weak_half = _run_cdc_at(SCALE_HI, half_dir, N_EVENTS, local_dir)
             weak = {
                 "half_feed": weak_half,
                 "note": "compare events_per_sec_steady vs full feed at same cores",
