@@ -335,8 +335,8 @@ class CdcApplier:
             # never deliver that event, so .get would park the stream
             # execution thread forever (observed empirically: the stream
             # thread blocks in Observation.getRow). Batch backfill gets the
-            # zero-extra-job receipt; streaming receipts would need the
-            # StreamingQueryProgress observedMetrics channel instead.
+            # zero-extra-job receipt; streaming epochs compute the digest
+            # with one explicit aggregation job instead (_commit_epoch).
             if self.integrity and self.epoch_mode != "stream":
                 from pyspark.sql import Observation
 
@@ -465,6 +465,21 @@ class CdcApplier:
             # batch -- folding it to a root + writing the tiny JSON is
             # driver-side microwork, also queued off-path
             row = prep["receipt_obs"].get
+            self._lineage_futures.append(
+                self._lineage_pool.submit(self._write_epoch_receipt, epoch, row)
+            )
+        elif self.integrity and self.epoch_mode == "stream":
+            # streaming: Observation is unusable inside foreachBatch (see
+            # _prepare_epoch), so the batch receipt costs one explicit
+            # aggregation job over the (small) micro-batch
+            from stratum_spark.verify.hashing import (
+                canonical_hash_col,
+                commutative_digest_aggs,
+            )
+
+            row = prep["deduped"].agg(
+                *commutative_digest_aggs(canonical_hash_col(prep["deduped"]))
+            ).first()
             self._lineage_futures.append(
                 self._lineage_pool.submit(self._write_epoch_receipt, epoch, row)
             )

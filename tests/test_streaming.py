@@ -46,6 +46,10 @@ def test_stream_drain_matches_oracle(spark, chunks, tmp_path):
         g = got[k]
         assert g["tokens"] == w["tokens"] and g["corpus"] == w["corpus"] and g["lang"] == w["lang"]
     assert ap.epoch_state()["schema_ver"] == 3
+    # streaming epochs persist batch receipts too (explicit digest job --
+    # Observation can't resolve inside foreachBatch)
+    receipts = ap.epoch_receipts()
+    assert len(receipts) >= 6 and all(r["n_rows"] >= 0 and r["root"] for r in receipts)
 
 
 def test_stream_restart_from_checkpoint(spark, chunks, tmp_path):
