@@ -126,3 +126,46 @@ def test_mor_epoch_write_is_o_batch_not_o_table(spark, tmp_path):
     want = state_as_records(st, table_schema_ver=0)
     got = _rows(ap.state())
     assert set(got) == set(want)
+
+
+def test_mor_read_path_plan_quality(spark, tmp_path):
+    """The read-merge must plan as a partial hash aggregate (map-side
+    combine over base ∪ deltas), never a window sort -- the same skew
+    immunity the write-side LWW dedup has."""
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "wp"), job_id="pq", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    ap.run_backfill(binlog, epoch_size=300)
+    plan = ap.state()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mor_pipelined_matches_serial(spark, tmp_path):
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    a = CdcApplier(spark, str(tmp_path / "ws"), job_id="p", n_buckets=8,
+                   evolution=[], write_mode="mor")
+    a.run_backfill(binlog, epoch_size=150)
+    b = CdcApplier(spark, str(tmp_path / "wq"), job_id="p", n_buckets=8,
+                   evolution=[], write_mode="mor")
+    b.run_backfill(binlog, epoch_size=150, pipelined=True)
+    assert _rows(a.state()) == _rows(b.state())
+
+
+def test_mor_streaming_end_to_end(spark, tmp_path):
+    """MoR under Structured Streaming: foreachBatch epochs append deltas
+    exactly-once; drain converges to the replay oracle."""
+    from stratum_spark.streaming import run_stream_until_idle
+
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "wst"), job_id="ms", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    run_stream_until_idle(ap, binlog, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    ap.compact_deltas()
+    st = replay_binlog(binlog)
+    want = state_as_records(st, table_schema_ver=0)
+    got = _rows(ap.state())
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["tokens"] == list(w["tokens"]), k
