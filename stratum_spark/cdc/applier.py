@@ -500,7 +500,12 @@ class CdcApplier:
         per-batch receipt persistence during apply (integrity.rs:75-89)."""
         from stratum_spark.verify.hashing import digest_row_to_root
 
-        rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts")
+        # receipts are partitioned per job_id: batch backfills (lsn-range
+        # epochs from 0) and streaming phases (Spark batch ids from 0) share
+        # the warehouse under DIFFERENT job_ids (mode guard), so a flat
+        # epoch-keyed file would let a stream's epoch-0 receipt overwrite
+        # the backfill's
+        rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts", self.job_id)
         os.makedirs(rdir, exist_ok=True)
         payload = {
             "epoch": epoch,
@@ -515,8 +520,8 @@ class CdcApplier:
         os.replace(tmp, path)
 
     def epoch_receipts(self) -> list[dict]:
-        """All persisted per-epoch batch receipts, in epoch order."""
-        rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts")
+        """This job's persisted per-epoch batch receipts, in epoch order."""
+        rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts", self.job_id)
         if not os.path.isdir(rdir):
             return []
         out = []

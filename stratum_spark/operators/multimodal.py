@@ -42,7 +42,12 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), True),
         T.StructField("n_bytes", T.IntegerType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # double, not float32: the stub kernel stores exact integer byte
+        # stats here, and a float32 sum loses integer exactness above 2^24
+        # (~170 KB of average-valued payload bytes) -- downstream derived
+        # stats (mean = sum/count) must round identically to the exact-int
+        # oracle at ANY payload size, so the feature lane is 64-bit
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -83,9 +88,9 @@ def _decode_image(payload: bytes) -> list[float]:
     if _HAS_PIL:  # pragma: no cover - library absent in this container
         raise NotImplementedError("real image decode not wired yet")
     # deterministic fake: exact integer byte stats (count, sum, max, min) --
-    # integers stay exact through the float32 feature column, so downstream
-    # derived stats (e.g. mean = sum/count) are reproducible bit-for-bit
-    # across engines
+    # integers stay exact through the float64 feature column (exact to
+    # 2^53, far beyond any payload sum), so downstream derived stats
+    # (e.g. mean = sum/count) are reproducible bit-for-bit across engines
     if payload is None or len(payload) == 0:
         return [0.0, 0.0, 0.0, 0.0]
     n = float(len(payload))

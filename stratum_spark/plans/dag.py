@@ -85,10 +85,15 @@ def run_dag(
         res = PipelineResult(spec.name)
         try:
             _run_hooks(spec, "before", res)
+            # once the data phase returns, `res` tracks the COMPLETED result:
+            # an after-hook failure must surface on the result that carries
+            # the write stats (the write already committed durably), not on
+            # the empty pre-pipeline placeholder
             r = run_pipeline(spec, catalog, warehouse)
             r.hooks_run = res.hooks_run + r.hooks_run
-            _run_hooks(spec, "after", r)
-            return r
+            res = r
+            _run_hooks(spec, "after", res)
+            return res
         except Exception as e:  # failure isolation
             res.error = str(e)
             return res

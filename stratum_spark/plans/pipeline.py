@@ -197,10 +197,16 @@ def run_pipeline(
     gate_pred = _gate_pred(spec, df)
     has_fail_action = any(v.action == "fail" for v in spec.validations)
 
+    # warn counts cover only rows that PASS the gate (rows a skip-action
+    # rule removes never reach the destination, so they must not inflate
+    # the warning counts) -- the warn predicate is AND-ed with ~gate_pred
+    # inside the single shared aggregation pass
+    def _warn_fail(v):
+        p = ~compile_expr(v.check, df).cast("boolean").eqNullSafe(F.lit(True))
+        return (p & ~gate_pred) if gate_pred is not None else p
+
     aggs = [
-        F.sum(
-            (~compile_expr(v.check, df).cast("boolean").eqNullSafe(F.lit(True))).cast("long")
-        ).alias(f"w_{i}")
+        F.sum(_warn_fail(v).cast("long")).alias(f"w_{i}")
         for i, v in enumerate(warn_rules)
     ]
     if gate_pred is not None:

@@ -40,16 +40,13 @@ def start_stream(
     # A stream started against a job_id whose bookmark was written by a
     # BACKFILL would silently skip micro-batches 0..committed_epoch (data
     # loss), so a cross-mode bookmark is rejected; resuming a stream's own
-    # bookmark is the normal restart path.
-    committed = applier.tokens.snapshot().committed.get(applier.job_id)
-    if committed is not None and committed.get("mode", "batch") != "stream":
-        raise ValueError(
-            f"job_id {applier.job_id!r} already has a batch-mode epoch bookmark "
-            f"(epoch {committed.get('epoch')}); streaming epochs are Spark batch "
-            "ids and would be skipped against it -- use a different job_id for "
-            "the streaming phase"
-        )
+    # bookmark is the normal restart path. The check goes through
+    # _check_epoch_mode, which reads the table that actually OWNS the epoch
+    # bookmark (base table for cow, the delta table for merge-on-read) --
+    # checking `tokens` directly would pass vacuously in mor mode and let
+    # the stream silently skip micro-batches 0..committed_epoch.
     applier.epoch_mode = "stream"
+    applier._check_epoch_mode()
     feed = (
         spark.readStream.schema(BINLOG_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)

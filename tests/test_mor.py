@@ -153,6 +153,104 @@ def test_mor_pipelined_matches_serial(spark, tmp_path):
     assert _rows(a.state()) == _rows(b.state())
 
 
+def test_mor_cross_mode_stream_guard(spark, tmp_path):
+    """A mor backfill's epoch bookmark lives on the DELTA table; starting a
+    stream with the same job_id must fail loudly (streaming epochs are
+    Spark batch ids -- comparing them against a batch lsn-range bookmark
+    would silently skip micro-batches 0..committed_epoch)."""
+    import pytest
+
+    from stratum_spark.streaming import start_stream
+
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "wg"), job_id="xm", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    ap.run_backfill(binlog, epoch_size=200, stop_after=2)
+    assert ap.deltas.committed_epoch("xm") >= 0
+    ap2 = CdcApplier(spark, str(tmp_path / "wg"), job_id="xm", n_buckets=8,
+                     evolution=[], write_mode="mor")
+    with pytest.raises(ValueError, match="mode"):
+        start_stream(ap2, binlog, str(tmp_path / "ckptg"))
+    # a fresh job_id on the same warehouse is fine
+    ap3 = CdcApplier(spark, str(tmp_path / "wg"), job_id="xm_stream", n_buckets=8,
+                     evolution=[], write_mode="mor")
+    from stratum_spark.streaming import run_stream_until_idle
+
+    run_stream_until_idle(ap3, binlog, str(tmp_path / "ckptg2"), max_files_per_trigger=2)
+    assert ap3.deltas.committed_epoch("xm_stream") >= 0
+
+
+def test_mor_stream_kill_between_append_and_checkpoint(spark, tmp_path):
+    """Crash in the window between the delta append (epoch bookmark
+    committed) and Spark's streaming checkpoint commit: the restarted
+    stream replays micro-batch 0, and the (job_id, epoch) bookmark makes
+    the replayed append a no-op -- no event applied twice."""
+    import glob
+
+    from stratum_spark.cdc.binlog import BINLOG_DDL
+    from stratum_spark.streaming import run_stream_until_idle
+
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    files = sorted(glob.glob(binlog + "/chunk-*.parquet"))
+    wh = str(tmp_path / "wk")
+    ap = CdcApplier(spark, wh, job_id="kc", n_buckets=8, evolution=[],
+                    write_mode="mor")
+    # simulate foreachBatch applying micro-batch 0, then dying before the
+    # streaming checkpoint records it
+    ap.epoch_mode = "stream"
+    first = spark.read.schema(BINLOG_DDL).parquet(files[0])
+    ap.apply_epoch(first, 0)
+    ap.flush_lineage()
+    assert ap.deltas.committed_epoch("kc") == 0
+
+    ap2 = CdcApplier(spark, wh, job_id="kc", n_buckets=8, evolution=[],
+                     write_mode="mor")
+    run_stream_until_idle(ap2, binlog, str(tmp_path / "ckptk"), max_files_per_trigger=1)
+    from stratum_spark.cdc.oracle import replay_binlog, state_as_records
+
+    want = state_as_records(replay_binlog(binlog), table_schema_ver=0)
+    got = _rows(ap2.state())
+    assert set(got) == set(want)
+    # the replayed micro-batch appended nothing: every (doc_id, lsn) unique
+    dups = ap2.deltas.read().groupBy("doc_id", "lsn").count().where("count > 1").count()
+    assert dups == 0
+
+
+def test_mor_stream_repeated_pause_resume_converges(spark, tmp_path):
+    """The reference's repeated-pause convergence scenario
+    (crates/engine-tests/src/resume.rs, third test) on the STREAMING mor
+    path: the feed arrives in three installments with a process restart
+    (fresh applier, same warehouse + checkpoint) between each; the final
+    state equals a one-shot replay and no event applies twice."""
+    import glob
+    import os as _os
+    import shutil as _sh
+
+    from stratum_spark.streaming import run_stream_until_idle
+
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    files = sorted(glob.glob(binlog + "/chunk-*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    wh, ckpt = str(tmp_path / "wr"), str(tmp_path / "ckr")
+    ap = None
+    for hi in (1, 2, len(files)):
+        for f in files[:hi]:
+            dst = live / _os.path.basename(f)
+            if not dst.exists():
+                _sh.copy2(f, dst)
+        ap = CdcApplier(spark, wh, job_id="rr", n_buckets=8, evolution=[],
+                        write_mode="mor")
+        run_stream_until_idle(ap, str(live), ckpt, max_files_per_trigger=1)
+    want = state_as_records(replay_binlog(binlog), table_schema_ver=0)
+    got = _rows(ap.state())
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["tokens"] == list(w["tokens"]), k
+    dups = ap.deltas.read().groupBy("doc_id", "lsn").count().where("count > 1").count()
+    assert dups == 0
+
+
 def test_mor_streaming_end_to_end(spark, tmp_path):
     """MoR under Structured Streaming: foreachBatch epochs append deltas
     exactly-once; drain converges to the replay oracle."""

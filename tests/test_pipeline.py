@@ -114,6 +114,59 @@ def test_validation_skip_and_warn(spark, catalog):
     assert [w.name for w in warns] == ["has_flag"]
 
 
+def test_warn_counts_cover_only_gate_passing_rows(spark, catalog, tmp_path):
+    """Overlapping skip+warn rules: rows removed by the skip-action gate
+    never reach the destination, so they must not inflate warn counts."""
+    wh = {
+        "dst": LakeTable.create(
+            spark, str(tmp_path / "dstw"),
+            "o_orderkey bigint, o_totalprice double", n_buckets=2,
+        )
+    }
+    spec = PipelineSpec(
+        name="warnscope",
+        source="orders",
+        destination="dst",
+        mappings=(("o_orderkey", "o_orderkey"), ("o_totalprice", "o_totalprice")),
+        copy_columns="MAP_ONLY",
+        validations=(
+            ValidationRule("gate_small", Bin("<", Ident("o_totalprice"), Lit(300000.0)), "skip"),
+            ValidationRule("warn_big", Bin("<", Ident("o_totalprice"), Lit(200000.0)), "warn"),
+        ),
+    )
+    res = run_pipeline(spec, catalog, wh)
+    orders = catalog.df("orders")
+    # warn count = rows that PASSED the gate but failed the warn rule
+    want_warn = orders.where(
+        "o_totalprice >= 200000.0 AND o_totalprice < 300000.0"
+    ).count()
+    want_gate = orders.where("o_totalprice >= 300000.0").count()
+    assert want_warn > 0 and want_gate > 0  # fixture actually overlaps
+    assert res.rows_failed == want_gate
+    assert res.warnings.get("warn_big", 0) == want_warn
+
+
+def test_failing_after_hook_keeps_write_stats(spark, catalog, tmp_path):
+    """An after-hook failure surfaces on the result that carries the write
+    stats -- the write already committed durably and must not be reported
+    as having written nothing."""
+    wh = {"dsth": LakeTable.create(spark, str(tmp_path / "dsth"), "order_id bigint", n_buckets=2)}
+    spec = PipelineSpec(
+        name="hooked",
+        source="orders",
+        destination="dsth",
+        mappings=(("order_id", "o_orderkey"),),
+        copy_columns="MAP_ONLY",
+    )
+    res = run_dag(
+        [spec], catalog, wh,
+        hooks={"hooked": {"after": ["SELECT * FROM missing_table_xyz"]}},
+    )["hooked"]
+    assert res.error is not None  # hook failure surfaced...
+    assert res.rows_written > 0  # ...on the result carrying the committed write
+    assert wh["dsth"].row_count() == res.rows_written
+
+
 def test_validation_fail_aborts(spark, catalog, tmp_path):
     wh = {"dst": LakeTable.create(spark, str(tmp_path / "dst"), "o_orderkey bigint", n_buckets=2)}
     spec = PipelineSpec(
