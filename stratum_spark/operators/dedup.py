@@ -178,16 +178,30 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_frame(docs: DataFrame) -> DataFrame:
+def md5_token_hash(col: Column) -> Column:
+    """Engine-agreeable 60-bit token hash: the top 15 hex chars of md5,
+    parsed base-16. DuckDB computes the identical value as
+    ('0x' || substr(md5(t),1,15))::BIGINT, which makes the WHOLE simhash
+    pipeline (votes, signature, bands, Hamming) hash-checkable against a
+    SQL oracle; production keeps the faster JVM-native xxhash64. 60 bits
+    (not 64) keeps the value inside a signed bigint in both engines; the
+    four missing bit lanes vote uniformly 0 on both sides, so signatures
+    and Hamming distances still agree exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_frame(docs: DataFrame, token_hash=None) -> DataFrame:
     """(doc_id, sh): the same 64-bit SimHash simhash64() defines, computed
     via explode + one flat codegen'd aggregate pass (64 vote sums with
     map-side combine) instead of nested higher-order functions, which run
     interpreted. Bit-for-bit identical to simhash64(): same token split,
-    same xxhash64 token hash, same majority vote."""
+    same xxhash64 token hash (overridable, e.g. md5_token_hash for the
+    oracle-checkable variant), same majority vote."""
+    token_hash = token_hash or F.xxhash64
     toks = docs.select(
         F.col("doc_id"),
         F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", token_hash(F.col("t")).alias("h"))
     aggs = [
         F.sum(
             F.when(
@@ -258,15 +272,16 @@ def _simhash_band(sh: Column, band: int, n_bands: int) -> Column:
     return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
     max_hamming+1 interleaved sub-bands: a pair within the requested radius
     must agree exactly on >= 1 band (pigeonhole), so band blocking is
     recall-complete for the CONFIGURED distance -- the band count is derived
     from max_hamming rather than fixed at 4 (which would silently
-    under-recall for distances > 3)."""
+    under-recall for distances > 3). token_hash defaults to xxhash64;
+    pass md5_token_hash for the engine-agreeable oracle variant."""
     n_bands = max_hamming + 1
-    sh = _simhash_frame(docs)
+    sh = _simhash_frame(docs, token_hash=token_hash)
     banded = sh.select(
         "doc_id",
         "sh",
@@ -299,4 +314,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))
+    return cand.where(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
