@@ -242,8 +242,9 @@ class CdcApplier:
 
         Serial-floor design (the thing that caps thread scaling): the epoch
         runs exactly TWO driver-synchronous Spark jobs -- the per-partition
-        stats job (which also discovers touched buckets via collect_set, so
-        no separate distinct().collect() pass) and the MERGE itself. The
+        stats job (whose plan also carries the executor-side DISTINCT of
+        touched bucket ids, so no separate discovery pass and the driver
+        receives O(partitions + n_buckets) rows) and the MERGE itself. The
         deduped batch is consumed ONLY by the merge, so it is neither
         persisted nor materialized ahead of time; DLQ and lineage writes
         run on worker threads off the critical path."""
@@ -267,27 +268,49 @@ class CdcApplier:
             touched_expr = F.when(~bad_pred, bexpr) if self.validate else bexpr
 
             def parts_job():
-                return (
-                    events.groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(
-                        F.min("lsn").alias("lsn_min"),
-                        F.max("lsn").alias("lsn_max"),
-                        F.count("*").alias("rows_in"),
-                        F.max("schema_ver").alias("v"),
-                        F.sum(bad_pred.cast("long")).alias("n_bad"),
-                        # touched buckets ride the same partial agg: a set of
-                        # <= n_buckets ints per partition, unioned driver-side
-                        F.collect_set(touched_expr).alias("bs"),
+                # ONE collect, two branches over the persisted slice:
+                #   (a) per-partition lineage stats (one row per input
+                #       partition), and
+                #   (b) the epoch's touched-bucket set, reduced to DISTINCT
+                #       bucket ids EXECUTOR-side (partial-agg distinct over
+                #       an int column -- skew-free), tagged partition_id
+                #       NULL.
+                # The driver thus receives O(partitions + n_buckets) rows.
+                # The previous collect_set-per-partition form returned up to
+                # partitions x n_buckets ints -- fine at sandbox B=16, a
+                # driver OOM risk at the documented 100 TB sizing (B=65536,
+                # ~10^4 input partitions).
+                stats = events.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                    F.min("lsn").alias("lsn_min"),
+                    F.max("lsn").alias("lsn_max"),
+                    F.count("*").alias("rows_in"),
+                    F.max("schema_ver").alias("v"),
+                    F.sum(bad_pred.cast("long")).alias("n_bad"),
+                ).withColumn("b", F.lit(None).cast("int"))
+                bucks = (
+                    events.select(touched_expr.cast("int").alias("b"))
+                    .where(F.col("b").isNotNull())
+                    .distinct()
+                    .select(
+                        F.lit(None).cast("int").alias("partition_id"),
+                        F.lit(None).cast("bigint").alias("lsn_min"),
+                        F.lit(None).cast("bigint").alias("lsn_max"),
+                        F.lit(None).cast("bigint").alias("rows_in"),
+                        F.lit(None).cast("int").alias("v"),
+                        F.lit(None).cast("bigint").alias("n_bad"),
+                        "b",
                     )
-                    .collect()
                 )
+                return stats.unionByName(bucks).collect()
 
             parts_future = None
             if pending_evo:
                 parts = parts_job()  # serial: gates evolution before mapping
                 if not parts:
                     return None
-                self._evolve_to(max(int(p["v"]) for p in parts if p["v"] is not None))
+                vs = [int(p["v"]) for p in parts if p["v"] is not None]
+                if vs:
+                    self._evolve_to(max(vs))
             else:
                 parts_future = pool.submit(parts_job)
                 parts = None
@@ -374,14 +397,17 @@ class CdcApplier:
             parts = prep["parts"]
             if prep["parts_future"] is not None:
                 parts = prep["parts_future"].result()
-            parts = [p for p in parts if p["rows_in"]]
+            # the parts job returns two row kinds: per-partition stats
+            # (partition_id set) and the distinct touched-bucket ids
+            # (partition_id NULL, b set)
+            touched = sorted(int(p["b"]) for p in parts if p["b"] is not None)
+            parts = [p for p in parts if p["partition_id"] is not None and p["rows_in"]]
             if not parts:
                 if prep["dlq_future"] is not None:
                     prep["dlq_future"].result()
                 return EpochStats(epoch=epoch, skipped=True)
             rows_in = sum(int(p["rows_in"]) for p in parts)
             lsn_max = max(int(p["lsn_max"]) for p in parts)
-            touched = sorted({int(b) for p in parts for b in (p["bs"] or [])})
             if self.write_mode == "mor":
                 t_merge = time.time()
                 n_appended = self.deltas.append_epoch(

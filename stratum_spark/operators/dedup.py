@@ -19,7 +19,7 @@ needs engine-agreement (md5 there).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -91,9 +91,22 @@ def ngram_jaccard_pairs(
     # array<string> costs more than recomputing the shingles per branch) --
     # deliberately recomputed; revisit with DISK_ONLY at lake scale
     inv = sh.select("doc_id", F.explode("shingles").alias("g"))
-    # posting-list frequency cut: df computed with one partial-agg shuffle
-    inv = inv.withColumn("df", F.count("*").over(Window.partitionBy("g")))
-    inv = inv.where(F.col("df") <= max_df).drop("df")
+    # posting-list frequency cut, skew-proof form: per-gram df via a
+    # partial hash aggregate (map-side combine -- no task ever buffers a
+    # hot gram's full posting list, unlike a count() window partitioned by
+    # g, which materializes exactly the partition the cap exists to kill),
+    # then an ANTI-join of the postings against the hot-gram list. The hot
+    # list is bounded by total_postings/max_df rows of short strings --
+    # broadcastable in any realistic corpus (stop-grams are few); at a
+    # scale where it is not, drop the hint and the shuffled anti-join
+    # still streams the probe side (build side is one row per hot gram).
+    hot = (
+        inv.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("g")
+    )
+    inv = inv.join(F.broadcast(hot), "g", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     cand = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
