@@ -78,7 +78,17 @@ class CdcApplier:
         lineage_detail: bool = True,
         integrity: bool = True,
         write_mode: str = "cow",
+        auto_compact_ratio: float | None = None,
     ):
+        # merge-on-read compaction POLICY: when set, deltas are folded into
+        # the base as soon as delta rows exceed ratio x base rows (metadata
+        # row counts -- no Spark job), so read-merge cost is bounded by
+        # policy rather than caller discipline (the reference's automatic
+        # write fast-path selection, consumer/components/writer.rs:54-111,
+        # makes the same kind of decision per batch). None = manual
+        # compact_deltas()/compact_every only.
+        self.auto_compact_ratio = auto_compact_ratio
+        self.compactions_run = 0
         self.lineage_detail = lineage_detail
         # integrity=True persists a per-epoch batch receipt (commutative
         # digest over the applied change rows) alongside the table metadata,
@@ -599,6 +609,8 @@ class CdcApplier:
             done += 1
             if compact_every and done % compact_every == 0:
                 self.compact_deltas()
+            else:
+                self.maybe_compact()
             if stop_after is not None and done >= stop_after:
                 break
         self.flush_lineage()
@@ -646,6 +658,10 @@ class CdcApplier:
                     out.append(EpochStats(epoch=ep, skipped=True))
                 else:
                     out.append(self._commit_epoch(prep))
+                # safe between commits even with the next prepare in
+                # flight: prepare reads only the feed and the epoch
+                # bookmark, which compaction's truncate preserves
+                self.maybe_compact()
                 i += 1
         self.flush_lineage()
         return out
@@ -672,6 +688,26 @@ class CdcApplier:
             base.unionByName(self.deltas.read()), key="doc_id", order_col="lsn"
         )
         return merged.where(F.col("op") != "D").drop("op")
+
+    def maybe_compact(self) -> MergeStats | None:
+        """Ratio-policy compaction: fold deltas into the base when delta
+        rows exceed auto_compact_ratio x base rows. Row counts come from
+        snapshot metadata sums (O(1) driver-side, no Spark job). With an
+        empty base the first applied epoch triggers the fold (the initial
+        load becomes the base immediately). Batch apply loop only --
+        streaming compaction must run OUTSIDE foreachBatch (the merge's
+        Observation never resolves there); run_stream_until_idle applies
+        the policy after the drain, the Hudi-style async-compactor shape."""
+        if (
+            self.write_mode != "mor"
+            or self.auto_compact_ratio is None
+            or self.deltas is None
+        ):
+            return None
+        d = self.deltas.row_count()
+        if d > 0 and d >= self.auto_compact_ratio * self.tokens.row_count():
+            return self.compact_deltas()
+        return None
 
     def compact_deltas(self) -> MergeStats | None:
         """Fold accumulated delta files into the base via the ordinary
@@ -702,6 +738,7 @@ class CdcApplier:
         self.deltas.overwrite(
             self.spark.createDataFrame([], self.deltas.snapshot().schema.spark_schema())
         )
+        self.compactions_run += 1
         return mstats
 
     def receipt(self, n_buckets: int = 64):

@@ -87,3 +87,7 @@ def run_stream_until_idle(
         q.stop()
         raise TimeoutError("stream did not drain in time")
     applier.flush_lineage()
+    # ratio-policy compaction runs OUTSIDE foreachBatch (the merge's
+    # Observation never resolves inside a micro-batch) -- after the drain
+    # is the streaming analog of an async compactor pass
+    applier.maybe_compact()

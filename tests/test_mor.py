@@ -153,6 +153,29 @@ def test_mor_pipelined_matches_serial(spark, tmp_path):
     assert _rows(a.state()) == _rows(b.state())
 
 
+def test_mor_auto_compaction_ratio_policy(spark, tmp_path):
+    """auto_compact_ratio bounds read-merge cost by POLICY: compaction
+    fires mid-backfill as soon as delta rows exceed ratio x base rows, and
+    state equality with the replay oracle holds across the ratio-triggered
+    folds (both serial and pipelined loops)."""
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "wa"), job_id="ac", n_buckets=8,
+                    evolution=[], write_mode="mor", auto_compact_ratio=0.5)
+    ap.run_backfill(binlog, epoch_size=150)
+    assert ap.compactions_run >= 1  # policy actually fired mid-backfill
+    want = state_as_records(replay_binlog(binlog), table_schema_ver=0)
+    got = _rows(ap.state())
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["tokens"] == list(w["tokens"]), k
+
+    app = CdcApplier(spark, str(tmp_path / "wap"), job_id="ac", n_buckets=8,
+                     evolution=[], write_mode="mor", auto_compact_ratio=0.5)
+    app.run_backfill(binlog, epoch_size=150, pipelined=True)
+    assert app.compactions_run >= 1
+    assert _rows(app.state()) == got
+
+
 def test_mor_cross_mode_stream_guard(spark, tmp_path):
     """A mor backfill's epoch bookmark lives on the DELTA table; starting a
     stream with the same job_id must fail loudly (streaming epochs are
