@@ -78,9 +78,14 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
     from stratum_spark.cdc import CdcApplier
     from stratum_spark.session import get_spark
 
+    # pipelining (BENCH_PIPELINED=1) overlaps prepare(N+1) with commit(N);
+    # after round 3's single-pass prepare (pruned stats scan, no epoch
+    # cache) the prepare stage is <10% of the epoch, so the overlap gain
+    # sits inside this box's noise band -- the headline stays serial for
+    # clean per-epoch walls, the mechanism stays correctness-pinned
     mode = os.environ.get("BENCH_WRITE_MODE", "cow")
-    pipelined = os.environ.get("BENCH_PIPELINED", "1") == "1"
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
+    pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
     epoch_size = max(10_000, n_events // n_epochs)
     spark = get_spark(f"bench_cdc_{cores}", cores=cores)
     wh = tempfile.mkdtemp(prefix=f"bench_wh_{cores}_")
@@ -300,7 +305,7 @@ def main() -> None:
     # interleaved trials per level: the hypervisor's CPU-steal waves last
     # minutes, so a single unlucky run poisons a level; best-epoch across
     # two interleaved trials is the stable capability estimate.
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     try:
         runs: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: [], CPUS: []}
         scans: dict[int, list[dict]] = {SCALE_LO: [], SCALE_HI: []}

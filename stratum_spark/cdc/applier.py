@@ -265,7 +265,23 @@ class CdcApplier:
             return None
 
         bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
-        events = events.persist()
+        # copy-on-write MERGE prunes to touched buckets, so the stats job
+        # must scan every column the bucket/validity exprs need; a
+        # merge-on-read APPEND needs no bucket discovery at all, letting
+        # its stats pass read only (lsn, schema_ver) -- parquet column
+        # pruning skips the token arrays, i.e. ~95% of the bytes
+        need_buckets = self.write_mode != "mor"
+        # persist policy: cow epochs are scanned fully three times (stats +
+        # buckets, DLQ, merge), so caching the decoded batch wins; mor
+        # epochs read the heavy columns only twice (DLQ + append) while the
+        # pruned stats pass skips them entirely -- re-decoding parquet is
+        # cheaper than building and holding an O(epoch) cache (and with
+        # pipelining, two epochs' caches would coexist).
+        # STRATUM_EPOCH_PERSIST=0/1 overrides.
+        env_persist = os.environ.get("STRATUM_EPOCH_PERSIST")
+        do_persist = need_buckets if env_persist is None else env_persist == "1"
+        if do_persist:
+            events = events.persist()
         pool = ThreadPoolExecutor(max_workers=2)
         ok = False
         try:
@@ -290,13 +306,15 @@ class CdcApplier:
                 # partitions x n_buckets ints -- fine at sandbox B=16, a
                 # driver OOM risk at the documented 100 TB sizing (B=65536,
                 # ~10^4 input partitions).
-                stats = events.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                stats_src = events if need_buckets else events.select("lsn", "schema_ver")
+                stats = stats_src.groupBy(F.spark_partition_id().alias("partition_id")).agg(
                     F.min("lsn").alias("lsn_min"),
                     F.max("lsn").alias("lsn_max"),
                     F.count("*").alias("rows_in"),
                     F.max("schema_ver").alias("v"),
-                    F.sum(bad_pred.cast("long")).alias("n_bad"),
                 ).withColumn("b", F.lit(None).cast("int"))
+                if not need_buckets:
+                    return stats.collect()
                 bucks = (
                     events.select(touched_expr.cast("int").alias("b"))
                     .where(F.col("b").isNotNull())
@@ -307,7 +325,6 @@ class CdcApplier:
                         F.lit(None).cast("bigint").alias("lsn_max"),
                         F.lit(None).cast("bigint").alias("rows_in"),
                         F.lit(None).cast("int").alias("v"),
-                        F.lit(None).cast("bigint").alias("n_bad"),
                         "b",
                     )
                 )
@@ -420,12 +437,17 @@ class CdcApplier:
             lsn_max = max(int(p["lsn_max"]) for p in parts)
             if self.write_mode == "mor":
                 t_merge = time.time()
+                # clustered=False: the LWW aggregate's shuffle is the only
+                # exchange on the delta hot path -- bucket-clustering the
+                # delta files would add a second full-row shuffle for files
+                # that read-merge and compaction always scan in full anyway
                 n_appended = self.deltas.append_epoch(
                     prep["deduped"],
                     job_id=self.job_id,
                     epoch=epoch,
                     lsn_max=lsn_max,
                     epoch_mode=self.epoch_mode,
+                    clustered=False,
                 )
                 mstats = MergeStats(
                     epoch_skipped=False,

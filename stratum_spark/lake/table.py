@@ -393,25 +393,33 @@ class LakeTable:
             cache[key] = {p: tuple(sorted(bs)) for p, bs in m.items()}
         return cache[key]
 
-    def _write_data(self, df: DataFrame, snap: Snapshot) -> list[FileEntry]:
-        """Write df (current-schema cols + _bucket) as FLAT parquet under a
-        fresh commit dir, repartitioned on _bucket so each task holds whole
-        buckets; the part-file index identifies the bucket set."""
+    def _write_data(self, df: DataFrame, snap: Snapshot, clustered: bool = True) -> list[FileEntry]:
+        """Write df as FLAT parquet under a fresh commit dir.
+
+        clustered=True (default): df carries _bucket and is repartitioned
+        on it so each task holds whole buckets; the part-file index
+        identifies the bucket set (enables bucket-pruned reads/merges).
+
+        clustered=False: df is written with its plan's NATURAL partitioning
+        (e.g. the upstream LWW aggregate's shuffle output) and every file
+        is marked as covering ALL buckets. Callers whose files are never
+        bucket-pruned (delta tables: read-merge and compaction always scan
+        the whole delta set) skip the cost of a second full-row shuffle."""
         commit_id = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA, commit_id)
         out_dir = os.path.join(self.root, rel_dir)
-        nparts = max(
-            1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")), snap.n_buckets)
-        )
-        (
-            df.repartition(nparts, F.col(_BUCKET))
-            .drop(_BUCKET)
-            .write.mode("error")
-            .parquet(out_dir)
-        )
+        if clustered:
+            nparts = max(
+                1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")), snap.n_buckets)
+            )
+            out_df = df.repartition(nparts, F.col(_BUCKET)).drop(_BUCKET)
+        else:
+            out_df = df
+        out_df.write.mode("error").parquet(out_dir)
         if not os.path.isdir(out_dir):
             return []
-        p2b = self._part_to_buckets(snap.n_buckets, nparts)
+        p2b = self._part_to_buckets(snap.n_buckets, nparts) if clustered else None
+        all_buckets = tuple(range(snap.n_buckets))
         todo: list[tuple[str, int, str]] = []
         for fn in os.listdir(out_dir):
             if fn.endswith(".parquet") and fn.startswith("part-"):
@@ -424,7 +432,7 @@ class LakeTable:
         return [
             FileEntry(
                 path=rel,
-                buckets=p2b.get(split, ()),
+                buckets=p2b.get(split, ()) if clustered else all_buckets,
                 schema_id=snap.schema_id,
                 rows=r,
             )
@@ -496,6 +504,7 @@ class LakeTable:
         lsn_max: int | None = None,
         epoch_mode: str | None = None,
         passthrough: tuple[str, ...] = (),
+        clustered: bool = True,
     ) -> int:
         """Exactly-once APPEND: the data files and the (job_id, epoch)
         bookmark commit in ONE snapshot, so a replayed epoch appends
@@ -504,19 +513,24 @@ class LakeTable:
         columns carried via `passthrough`), deferring the merge to readers
         and the compactor -- the write amplification of copy-on-write MERGE
         (every touched bucket rewritten per epoch) disappears from the
-        ingest hot path. Returns rows appended (0 if the epoch replayed)."""
+        ingest hot path. clustered=False additionally skips the bucket
+        repartition (delta files are never bucket-pruned, so clustering
+        them costs a second full-row shuffle for nothing). Returns rows
+        appended (0 if the epoch replayed)."""
         snap = self.snapshot()
         last = snap.committed.get(job_id, {}).get("epoch", -1)
         if epoch <= last:
             return 0
         aligned = self._align(df, snap.schema, passthrough=passthrough)
-        if snap.key:
-            aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
-        else:
-            aligned = aligned.withColumn(
-                _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
-            )
-        entries = self._write_data(aligned, snap)
+        if clustered:
+            if snap.key:
+                aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
+            else:
+                aligned = aligned.withColumn(
+                    _BUCKET,
+                    F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int"),
+                )
+        entries = self._write_data(aligned, snap, clustered=clustered)
         committed = dict(snap.committed)
         committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
         if epoch_mode is not None:
