@@ -4,13 +4,15 @@ final line alone must carry {"metric", "value", "queries", "sf", "cdc"
 scaling evidence}.
 
 Headline metric (BASELINE.json): change-events/sec applied end-to-end
-(binlog -> validate -> LWW dedup -> MERGE into the lake table), measured at
-two parallelism levels (local[N] and local[4N]) in separate JVMs on the
-same input -- the sandbox evidence for the N -> 4N scaling-efficiency
-criterion (>= 0.8 target).
+(binlog -> validate -> LWW dedup -> MERGE into the lake table), measured on
+the scaling chain local[N] -> local[4N] -> local[16N] in separate JVMs on
+the same input -- the sandbox evidence for the N -> 4N scaling-efficiency
+criterion (>= 0.8 target), with the box's own busy-loop ceiling and a
+compute-bound exhibit measured per pair in the same run.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS, BENCH_DOCS, BENCH_SCALE_LO.
+SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS, BENCH_DOCS, BENCH_SCALE_LO /
+_HI / _SAT, BENCH_TRIALS, BENCH_EPOCHS, BENCH_WRITE_MODE, BENCH_PIPELINED.
 """
 
 from __future__ import annotations

@@ -5,8 +5,8 @@ Scale notes (the 100 TB design):
     (hash, min_id, count); identical asymptotics at any scale.
   * minhash LSH: shingle -> k minhashes -> b bands; candidate generation is
     a self-join ON the band key, so only same-bucket pairs materialize --
-    the blow-up knob is (b, r), not table size. Signatures are pure
-    Column exprs (nested transform/array_min over xxhash64 streams).
+    the blow-up knob is (b, r), not table size. Shingles are codegen'd
+    posting ROWS (gram_frame); signatures are one flat partial aggregate.
   * simhash: 64-bit signature via bitwise majority over token hashes; near-
     dup candidates blocked on 16-bit sub-bands (Hamming<=3 within a
     64/16 split can't miss by pigeonhole when <=3 of 4 bands differ).
@@ -43,7 +43,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as strings."""
+    """Distinct word n-grams as an ARRAY column (Column-API form; kept for
+    ad-hoc use). NOTE: the transform/slice lambdas here run in Spark's
+    INTERPRETED expression path -- the operators below use gram_frame(),
+    the row-wise codegen formulation, which measured ~2x faster end-to-end
+    and avoids re-evaluating the lambdas once per plan branch."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
@@ -52,22 +56,54 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _verify_jaccard(cand_ids: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
-    """Exact-Jaccard verification of an ids-only candidate-pair set.
+def gram_frame(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g): DISTINCT word n-grams as ROWS, fully whole-stage-
+    codegen: split -> posexplode -> per-doc lag window -> concat_ws.
+    No higher-order functions (those run interpreted), no array columns.
+    The lag window partitions by doc_id, so its buffering is bounded by
+    document length -- skew-safe by construction. Docs shorter than n
+    tokens contribute their single whole-doc gram (concat_ws skips the
+    null lags), exactly matching word_shingles()/the SQL oracle."""
+    from pyspark.sql import Window
 
-    The candidate shuffle carries (doc_a, doc_b) ONLY -- shingle arrays are
-    re-joined here, after dedup, so candidate amplification (many shared
-    shingles / many LSH bands) never multiplies the heavy payload through
-    the shuffle. sh must be (doc_id, shingles)."""
-    cand = cand_ids.dropDuplicates(["doc_a", "doc_b"])
-    withs = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.lag("w", n - 1 - j).over(w) for j in range(n - 1)] + [F.col("w")]
+    t = (
+        t.withColumn("__sz", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn("g", F.concat_ws(" ", *parts))
+        .where(F.col("pos") >= F.least(F.col("__sz"), F.lit(n)) - 1)
     )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
-    jac = inter.cast("double") / union
-    return withs.where(jac >= tau).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return t.select("doc_id", "g").dropDuplicates(["doc_id", "g"])
+
+
+def _verify_jaccard_counts(
+    cand_ids: DataFrame, inv: DataFrame, n_sh: DataFrame, tau: float
+) -> DataFrame:
+    """Exact-Jaccard verification of an ids-only candidate-pair set, by
+    COUNTS over the full inverted index (never by array intersection):
+    common = |shared grams| via cand x postings joins + one partial-agg
+    count; jaccard = common / (na + nb - common). The candidate shuffle
+    carries (doc_a, doc_b) only, and every side of every join is plain
+    codegen'd rows. inv must be the FULL (uncapped) posting set so the
+    Jaccard of surviving pairs is exact."""
+    cand = cand_ids.dropDuplicates(["doc_a", "doc_b"])
+    ia = inv.select(F.col("doc_id").alias("doc_a"), F.col("g"))
+    ib = inv.select(F.col("doc_id").alias("doc_b"), F.col("g"))
+    common = (
+        cand.join(ia, "doc_a")
+        .join(ib, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    withn = common.join(na, "doc_a").join(nb, "doc_b")
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return withn.where(jac >= tau).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -80,38 +116,32 @@ def ngram_jaccard_pairs(
     Scale guard: shingles whose document frequency exceeds max_df are cut
     from the inverted index before the self-join (the standard posting-list
     frequency cut) -- a stop-gram shared by 10^6 docs would otherwise create
-    a 10^12-row bucket. Verification re-joins the FULL shingle sets, so the
-    Jaccard of every surviving pair is exact; only pairs whose shared
-    shingles are ALL above max_df can be missed (near-dup pairs share many
-    shingles, so rare ones too). Candidates shuffle as ids only."""
-    sh = docs.select(
-        F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    # NOTE: caching sh here was measured SLOWER (columnar encode of
-    # array<string> costs more than recomputing the shingles per branch) --
-    # deliberately recomputed; revisit with DISK_ONLY at lake scale
-    inv = sh.select("doc_id", F.explode("shingles").alias("g"))
-    # posting-list frequency cut, skew-proof form: per-gram df via a
-    # partial hash aggregate (map-side combine -- no task ever buffers a
-    # hot gram's full posting list, unlike a count() window partitioned by
-    # g, which materializes exactly the partition the cap exists to kill),
-    # then an ANTI-join of the postings against the hot-gram list. The hot
-    # list is bounded by total_postings/max_df rows of short strings --
-    # broadcastable in any realistic corpus (stop-grams are few); at a
-    # scale where it is not, drop the hint and the shuffled anti-join
-    # still streams the probe side (build side is one row per hot gram).
+    a 10^12-row bucket. The df is a partial hash aggregate (map-side
+    combine -- no task ever buffers a hot gram's full posting list, unlike
+    a count() window partitioned by g, which materializes exactly the
+    partition the cap exists to kill), followed by an ANTI-join of the
+    postings against the hot-gram list. The hot list is bounded by
+    total_postings/max_df short strings -- broadcastable in any realistic
+    corpus; at a scale where it is not, drop the hint and the shuffled
+    anti-join still streams the probe side. Verification counts shared
+    grams over the FULL posting set, so the Jaccard of every surviving
+    pair is exact; only pairs whose shared shingles are ALL above max_df
+    can be missed (near-dup pairs share many shingles, so rare ones too).
+    Candidates shuffle as ids only."""
+    inv = gram_frame(docs, n)
+    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         inv.groupBy("g")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > max_df)
         .select("g")
     )
-    inv = inv.join(F.broadcast(hot), "g", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
+    kept = inv.join(F.broadcast(hot), "g", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
     cand = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return _verify_jaccard(cand, sh, tau)
+    return _verify_jaccard_counts(cand, inv, n_sh, tau)
 
 
 # ---------------------------------------------------------------------------
@@ -132,16 +162,14 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     )
 
 
-def _minhash_mins(sh: DataFrame, k: int) -> DataFrame:
-    """(doc_id, m0..m{k-1}) via explode + flat aggregate: each shingle
-    STRING is hashed once (base = xxhash64(g)); the k streams derive from
-    the 8-byte base (xxhash64(base, i)), and all k mins compute in one
-    codegen'd partial-agg pass -- map-side combine, one shuffle of k longs
-    per doc."""
-    inv = sh.select(F.col("doc_id"), F.explode("shingles").alias("g")).select(
-        "doc_id", F.xxhash64("g").alias("base")
-    )
-    return inv.groupBy("doc_id").agg(
+def _minhash_mins(inv: DataFrame, k: int) -> DataFrame:
+    """(doc_id, m0..m{k-1}) from (doc_id, g) posting rows via one flat
+    aggregate: each shingle STRING is hashed once (base = xxhash64(g));
+    the k streams derive from the 8-byte base (xxhash64(base, i)), and all
+    k mins compute in one codegen'd partial-agg pass -- map-side combine,
+    one shuffle of k longs per doc."""
+    hashed = inv.select("doc_id", F.xxhash64("g").alias("base"))
+    return hashed.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("base"), F.lit(i))).alias(f"m{i}") for i in range(k)]
     )
 
@@ -153,11 +181,11 @@ def minhash_lsh_pairs(
     Jaccard (the standard shingle->minhash->band->bucket-join pipeline).
     Returns (doc_a, doc_b, jaccard) for verified candidates."""
     r = k // bands
-    sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles"))
-    sh = sh.where(F.size("shingles") > 0)  # recompute-per-branch beats caching (see above)
-    mins = _minhash_mins(sh, k)
-    # band rows carry (doc_id, band, bh) ONLY -- the shingle arrays rejoin
-    # after candidate dedup (_verify_jaccard), so the (band-key) shuffle
+    inv = gram_frame(docs, n)
+    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    mins = _minhash_mins(inv, k)
+    # band rows carry (doc_id, band, bh) ONLY -- shared-gram counts join
+    # after candidate dedup (_verify_jaccard_counts), so the (band-key) shuffle
     # payload stays ~24 bytes/row regardless of document size. Band hash =
     # one native xxhash64 over the band's r min-columns (flat codegen).
     banded = mins.select(
@@ -183,7 +211,7 @@ def minhash_lsh_pairs(
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return _verify_jaccard(cand, sh, tau)
+    return _verify_jaccard_counts(cand, inv, n_sh, tau)
 
 
 # ---------------------------------------------------------------------------

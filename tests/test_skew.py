@@ -25,7 +25,13 @@ def test_ngram_df_cap_skew_proof(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.ngram_jaccard_pairs(docs, n=3, tau=0.5, max_df=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    # no window may partition by the GRAM key (that is the hot partition
+    # the cap exists to kill); gram_frame's per-doc lag windows partition
+    # by doc_id, whose partitions are bounded by document length
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert not spec.startswith("g#"), plan
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
     # each adjacent pair shares 4 of its 5 shingles (J = 4/6); all other
     # pairs share only the capped hot gram and produce no candidate
