@@ -1,0 +1,339 @@
+"""Command-line surface: the reference's CLI verbs mapped onto this engine.
+
+Parity map (crates/cli/src/commands/mod.rs -- Plan/Apply/Verify/Status/
+Pause/Resume/Reset/Version; sled state store replaced by the lake's own
+snapshot-log metadata, so `status` reads the warehouse instead of a
+separate state directory):
+
+    plan      dry-run report for an SMQL config (row counts, validation
+              estimates, duration estimate, optional sample rows)
+    apply     execute an SMQL config's pipeline DAG end-to-end
+    backfill  CDC batch apply: binlog -> lake warehouse (epochs resume
+              from the committed bookmark -- `pause` is ctrl-C, `resume`
+              is re-running the same command; stratum's pause/resume)
+    stream    CDC streaming apply (Structured Streaming tail)
+    status    committed epoch/lsn/schema-ver + lineage tail for a warehouse
+    verify    recompute the destination digest vs the stored receipt
+    compact   fold merge-on-read deltas into the base table
+    reset     drop the warehouse state (stratum `reset`)
+    version   engine + Spark versions
+
+Sources are plain parquet paths (`--table name=path`); destinations are
+lake tables auto-created under `--warehouse` from each pipeline's output
+schema. The WASM `plugin` subcommands are deliberately not ported
+(SURVEY.md §7.5): Arrow-vectorized pandas UDFs are this engine's plugin
+surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from stratum_spark.session import get_spark
+
+    return get_spark("stratum_spark_cli", cores=getattr(args, "cores", None))
+
+
+def _parse_tables(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"--table expects name=path, got: {p}")
+        name, path = p.split("=", 1)
+        out[name] = path
+    return out
+
+
+def _load_doc(path: str):
+    from stratum_spark.plans.smql import parse_smql
+
+    with open(path) as fh:
+        return parse_smql(fh.read())
+
+
+def _catalog(spark, args):
+    from stratum_spark.plans.pipeline import Catalog
+
+    return Catalog(spark, _parse_tables(args.table))
+
+
+def _dest_tables(doc, catalog, warehouse_dir: str) -> dict:
+    """Create (or load) a lake table per pipeline destination, schema
+    derived from the compiled pipeline output (names + Spark types)."""
+    from stratum_spark.lake import LakeTable
+    from stratum_spark.plans.pipeline import compile_pipeline
+
+    wh: dict = {}
+    os.makedirs(warehouse_dir, exist_ok=True)
+    for spec in doc.pipelines:
+        root = os.path.join(warehouse_dir, spec.destination)
+        if LakeTable.exists(root):
+            wh[spec.destination] = LakeTable.load(catalog.spark, root)
+            continue
+        df, _, _ = compile_pipeline(spec, catalog)
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        wh[spec.destination] = LakeTable.create(
+            catalog.spark, root, ddl, key=spec.key, n_buckets=args_buckets(spec)
+        )
+    return wh
+
+
+def args_buckets(spec) -> int:
+    return 16
+
+
+def cmd_plan(args) -> int:
+    from stratum_spark.plans.report import plan_report
+
+    doc = _load_doc(args.config)
+    spark = _spark(args)
+    catalog = _catalog(spark, args)
+    plans = plan_report(doc.pipelines, catalog)
+    payload = {}
+    for name, p in plans.items():
+        payload[name] = {
+            "source_rows": p.source_rows,
+            "output_columns": p.output_columns,
+            "estimated_failures": p.estimated_failures,
+            "estimated_duration_s": p.estimated_duration_s,
+            "validations": p.validation_estimates,
+            "diagnostics": [f"{d.level}: {d.message}" for d in p.diagnostics],
+        }
+    out = json.dumps(payload, indent=2, default=str)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(out)
+    return 0
+
+
+def cmd_apply(args) -> int:
+    from stratum_spark.plans.smql import run_document
+
+    doc = _load_doc(args.config)
+    spark = _spark(args)
+    catalog = _catalog(spark, args)
+    wh = _dest_tables(doc, catalog, args.warehouse)
+    results = run_document(doc, catalog, wh)
+    failed = 0
+    for name, r in results.items():
+        status = "FAILED" if r.error else ("skipped" if r.skipped else "ok")
+        failed += 1 if r.error else 0
+        print(
+            f"{status:8s} {name}: written={r.rows_written} dlq={r.rows_failed} "
+            f"warnings={r.warnings or '{}'}"
+            + (f" error={r.error}" if r.error else "")
+        )
+    return 1 if failed else 0
+
+
+def _applier(args):
+    from stratum_spark.cdc import CdcApplier
+
+    spark = _spark(args)
+    return CdcApplier(
+        spark,
+        args.warehouse,
+        job_id=args.job_id,
+        n_buckets=args.n_buckets,
+        n_events_hint=args.events_hint,
+        write_mode=args.write_mode,
+        auto_compact_ratio=args.compact_ratio,
+    )
+
+
+def cmd_backfill(args) -> int:
+    ap = _applier(args)
+    stats = ap.run_backfill(
+        args.binlog, epoch_size=args.epoch_size, pipelined=args.pipelined
+    )
+    applied = [s for s in stats if not s.skipped]
+    rows = sum(s.rows_in for s in applied)
+    print(
+        f"applied {len(applied)} epochs ({len(stats) - len(applied)} replay-skipped), "
+        f"{rows} events; state: {ap.epoch_state()}"
+    )
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from stratum_spark.streaming import run_stream_until_idle
+
+    ap = _applier(args)
+    run_stream_until_idle(
+        ap, args.binlog, args.checkpoint, max_files_per_trigger=args.max_files
+    )
+    print(f"drained; state: {ap.epoch_state()}")
+    return 0
+
+
+def cmd_status(args) -> int:
+    from stratum_spark.lake import LakeTable
+
+    spark = _spark(args)
+    tok_root = os.path.join(args.warehouse, "tokens")
+    if not LakeTable.exists(tok_root):
+        print(f"no engine state under {args.warehouse}")
+        return 1
+    from stratum_spark.cdc import CdcApplier
+
+    ap = CdcApplier(spark, args.warehouse, job_id=args.job_id,
+                    write_mode=args.write_mode)
+    payload = {
+        "warehouse": os.path.abspath(args.warehouse),
+        "job_id": args.job_id,
+        **ap.epoch_state(),
+        "table_rows": ap.tokens.row_count(),
+        "delta_rows": ap.deltas.row_count() if ap.deltas is not None else None,
+        "dlq_rows": ap.dlq.row_count(),
+        "receipts": len(ap.epoch_receipts()),
+        "snapshot_version": ap.tokens.snapshot().version,
+    }
+    if args.json:
+        print(json.dumps(payload))
+    else:
+        for k, v in payload.items():
+            print(f"{k:18s} {v}")
+        lin = ap.lineage.read()
+        n = lin.count()
+        if n:
+            print(f"\nlineage ({n} rows; last 5 epoch summaries):")
+            for r in (
+                lin.where("partition_id = -1")
+                .orderBy("epoch", ascending=False)
+                .limit(5)
+                .collect()
+            ):
+                print(
+                    f"  epoch={r['epoch']} rows_in={r['rows_in']} "
+                    f"applied={r['rows_deduped']} dlq={r['rows_dlq']} "
+                    f"wall_ms={r['wall_ms']}"
+                )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    ap = _applier(args)
+    if args.write_receipt:
+        r = ap.receipt()
+        print(f"receipt written: {r.n_buckets} buckets, {r.n_rows} rows")
+        return 0
+    res = ap.verify()
+    ok = res.get("match", False) if isinstance(res, dict) else bool(res)
+    print(json.dumps(res, default=str) if args.json else f"verify: {'OK' if ok else 'MISMATCH'} {res}")
+    return 0 if ok else 2
+
+
+def cmd_compact(args) -> int:
+    ap = _applier(args)
+    m = ap.compact_deltas()
+    if m is None:
+        print("nothing to compact (cow mode or no committed deltas)")
+        return 0
+    print(
+        f"compacted: inserted={m.rows_inserted} updated={m.rows_updated} "
+        f"deleted={m.rows_deleted} buckets={m.buckets_touched}"
+    )
+    return 0
+
+
+def cmd_reset(args) -> int:
+    import shutil
+
+    if not args.yes:
+        print("refusing to drop state without --yes")
+        return 1
+    if os.path.isdir(args.warehouse):
+        shutil.rmtree(args.warehouse)
+        print(f"dropped {args.warehouse}")
+    else:
+        print(f"nothing at {args.warehouse}")
+    return 0
+
+
+def cmd_version(args) -> int:
+    import pyspark
+
+    print(f"stratum_spark 0.3.0 (pyspark {pyspark.__version__})")
+    return 0
+
+
+def _add_applier_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--job-id", default="cdc")
+    p.add_argument("--write-mode", choices=("cow", "mor"), default="mor")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--events-hint", type=int, default=None)
+    p.add_argument("--compact-ratio", type=float, default=None)
+    p.add_argument("--cores", type=int, default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="stratum_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("plan", help="dry-run report for an SMQL config")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--table", action="append", metavar="NAME=PATH")
+    p.add_argument("-o", "--output")
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_plan)
+
+    p = sub.add_parser("apply", help="execute an SMQL config")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--table", action="append", metavar="NAME=PATH")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_apply)
+
+    p = sub.add_parser("backfill", help="CDC batch apply (resumable)")
+    p.add_argument("--binlog", required=True)
+    p.add_argument("--epoch-size", type=int, default=100_000)
+    p.add_argument("--pipelined", action="store_true")
+    _add_applier_args(p)
+    p.set_defaults(fn=cmd_backfill)
+
+    p = sub.add_parser("stream", help="CDC streaming apply (drain current feed)")
+    p.add_argument("--binlog", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files", type=int, default=4)
+    _add_applier_args(p)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("status", help="engine state for a warehouse")
+    p.add_argument("--json", action="store_true")
+    _add_applier_args(p)
+    p.set_defaults(fn=cmd_status)
+
+    p = sub.add_parser("verify", help="verify destination vs stored receipt")
+    p.add_argument("--write-receipt", action="store_true",
+                   help="compute and store a fresh receipt instead")
+    p.add_argument("--json", action="store_true")
+    _add_applier_args(p)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("compact", help="fold merge-on-read deltas into the base")
+    _add_applier_args(p)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("reset", help="drop a warehouse's state")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--yes", action="store_true")
+    p.set_defaults(fn=cmd_reset)
+
+    p = sub.add_parser("version")
+    p.set_defaults(fn=cmd_version)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,7 +116,23 @@ def plan_pipeline(
         for v in gate:
             pred = ~compile_expr(v.check, sample).cast("boolean").eqNullSafe(F.lit(True))
             aggs.append(F.sum(pred.cast("long")).alias(v.name))
-        row = sample.agg(*aggs).collect()[0].asDict()
+        try:
+            row = sample.agg(*aggs).collect()[0].asDict()
+        except Exception as e:
+            # a dry-run REPORTS problems instead of crashing: the usual
+            # culprit is a validation referencing a source column that
+            # MAP_ONLY pruning removed (validators run after the pruner,
+            # the reference's producer order -- transform/pruner.rs then
+            # validators) -- surface it as an error diagnostic
+            msg = str(e).split("\n")[0]
+            diags.append(
+                Diagnostic(
+                    "error",
+                    "validation estimation failed (do the rules reference "
+                    f"pruned source columns?): {msg}",
+                )
+            )
+            row = {"__total": 0}
         total = row.pop("__total")
         for v in gate:
             n = int(row.get(v.name) or 0)
