@@ -465,6 +465,34 @@ def _q_cdc_end_to_end(spark, sf):
     )
 
 
+def _q_fk_auto_join(spark, sf):
+    """§2.4 join-graph BFS: the join PATH and ON conditions are derived
+    from FK metadata alone (plans/joingraph.py, the reference's
+    find_join_path/build_join_clauses, connectors/src/sql/join/utils.rs)
+    -- the query names only root and target tables."""
+    from stratum_spark.plans import Catalog, ForeignKey, JoinGraph, PipelineSpec, compile_pipeline
+
+    cat = Catalog(
+        spark,
+        {n: f"{sf}/{n}.parquet" for n in ["region", "nation", "customer", "orders"]},
+    )
+    g = JoinGraph([
+        ForeignKey("orders", ("o_custkey",), "customer", ("c_custkey",)),
+        ForeignKey("customer", ("c_nationkey",), "nation", ("n_nationkey",)),
+        ForeignKey("nation", ("n_regionkey",), "region", ("r_regionkey",)),
+    ])
+    spec = PipelineSpec(
+        name="auto",
+        source="orders",
+        destination="dst",
+        joins=g.join_specs("orders", ["region"]),
+        mappings=(("region_name", "r_name"),),
+        copy_columns="MAP_ONLY",
+    )
+    df, _, _ = compile_pipeline(spec, cat)
+    return df.groupBy("region_name").agg(F.count("*").alias("n_orders"))
+
+
 def _q_multimodal_features(spark, sf):
     from stratum_spark.operators.multimodal import extract_features, synth_media
 
@@ -494,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join": _q_multi_join,
         "left_join_agg": _q_left_join_agg,
         "fk_cascade": _q_fk_cascade,
+        "fk_auto_join": _q_fk_auto_join,
         "computed_chain": _q_computed_chain,
         "scalar_functions": _q_scalar_functions,
         "int_division": _q_int_division,
@@ -605,6 +634,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
         ),
         "fk_cascade": (
+            "SELECT r_name AS region_name, count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        # same ground truth: the Spark side derives path + conditions from
+        # FK metadata only (join-graph BFS)
+        "fk_auto_join": (
             "SELECT r_name AS region_name, count(*) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "

@@ -8,8 +8,11 @@ from stratum_spark.plans.pipeline import (
     run_pipeline,
 )
 from stratum_spark.plans.dag import run_dag
+from stratum_spark.plans.joingraph import ForeignKey, JoinGraph
 
 __all__ = [
+    "ForeignKey",
+    "JoinGraph",
     "Catalog",
     "JoinSpec",
     "PipelineSpec",
