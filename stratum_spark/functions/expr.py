@@ -20,8 +20,10 @@ Verified reference semantics we reproduce (SURVEY.md §2.3):
     pass-through TODO, eval/runtime.rs:101-105 -- we do not copy the bug).
   * env(name[, default]) resolves at compile time on the driver.
 
-Documented-only float-eq epsilon (eval/binary.rs:147-148) is NOT
-reproduced -- plain IEEE equality; documented divergence.
+Documented-only float-eq epsilon (eval/binary.rs:147-148): plain IEEE
+equality by default (documented divergence), with the reference's
+epsilon comparison available as an opt-in via STRATUM_FLOAT_EQ_EPSILON
+(see _eq).
 """
 
 from __future__ import annotations
@@ -214,10 +216,9 @@ def _compile(e: Expr, schema: T.StructType | None) -> Column:
             return l / r
         if op == "%":
             return l % r
-        if op == "==":
-            return l.eqNullSafe(r)
-        if op == "!=":
-            return ~l.eqNullSafe(r)
+        if op in ("==", "!="):
+            eq = _eq(l, r, lt, rt)
+            return eq if op == "==" else ~eq
         if op == ">":
             return l > r
         if op == "<":
@@ -234,6 +235,31 @@ def _compile(e: Expr, schema: T.StructType | None) -> Column:
             return F.regexp_like(l.cast("string"), r)
         raise ValueError(f"unknown binary op: {e.op}")
     raise TypeError(f"not an Expr: {e!r}")
+
+
+_FRACTIONAL = (T.DoubleType, T.FloatType)
+
+
+def _eq(l: Column, r: Column, lt, rt) -> Column:
+    """NULL-safe equality (NULL == NULL -> TRUE). With
+    STRATUM_FLOAT_EQ_EPSILON set and a floating-point operand, equality
+    becomes |a - b| < eps -- the reference's documented float comparison
+    (eval/binary.rs:147-148: (a - b).abs() < EPSILON). Off by default:
+    plain IEEE equality is this engine's documented baseline, and the
+    epsilon mode is the opt-in parity switch. The epsilon form keeps the
+    null-safe contract (NULL==NULL true, NULL==x false) and never yields
+    NULL, so `!=` stays its exact negation."""
+    import os
+
+    eps = os.environ.get("STRATUM_FLOAT_EQ_EPSILON")
+    if eps and (isinstance(lt, _FRACTIONAL) or isinstance(rt, _FRACTIONAL)):
+        near = F.abs(l.cast("double") - r.cast("double")) < F.lit(float(eps))
+        return (
+            F.when(l.isNull() & r.isNull(), F.lit(True))
+            .when(l.isNull() | r.isNull(), F.lit(False))
+            .otherwise(near)
+        )
+    return l.eqNullSafe(r)
 
 
 def _int_div(l: Column, r: Column) -> Column:

@@ -70,3 +70,28 @@ def test_cli_plan_and_apply_smql(spark, sf_dir, tmp_path, capsys):
                  "--warehouse", str(tmp_path / "whx")]) == 0
     out = capsys.readouterr().out
     assert "ok" in out and "written=" in out
+
+
+def test_pyfiles_zip_is_self_contained(tmp_path):
+    """The spark-submit --py-files artifact must import with ONLY the zip
+    on PYTHONPATH (cluster-submission packaging, tools/make_pyfiles.sh)."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        ["bash", "/root/repo/tools/make_pyfiles.sh", str(tmp_path)],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    zipp = tmp_path / "stratum_spark.zip"
+    assert zipp.exists()
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import stratum_spark, stratum_spark.cli, stratum_spark.cdc; "
+         "print(stratum_spark.cli.main(['version']))"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": str(zipp)},
+    )
+    assert probe.returncode == 0, probe.stderr
+    assert "stratum_spark" in probe.stdout

@@ -123,3 +123,28 @@ def test_decimal_arithmetic_exact(spark):
     assert out["eq"] is True
     # the float contrast: the same sum in doubles is NOT 0.3
     assert 0.1 + 0.2 != 0.3
+
+
+def test_float_eq_epsilon_opt_in(spark, monkeypatch):
+    """Reference float comparison (eval/binary.rs:147-148) as opt-in:
+    |a-b| < eps, null-safe contract preserved; default stays plain IEEE."""
+    from stratum_spark.functions import Bin, Ident
+    from stratum_spark.functions.expr import compile_expr
+
+    df = spark.createDataFrame(
+        [(0.1 + 0.2, 0.3), (1.0, 2.0), (None, None), (None, 1.0)],
+        "a double, b double",
+    )
+    e = Bin("==", Ident("a"), Ident("b"))
+    plain = [r["x"] for r in df.select(compile_expr(e, df).alias("x")).collect()]
+    assert plain == [False, False, True, False]  # IEEE: 0.1+0.2 != 0.3
+    monkeypatch.setenv("STRATUM_FLOAT_EQ_EPSILON", "1e-9")
+    eps = [r["x"] for r in df.select(compile_expr(e, df).alias("x")).collect()]
+    assert eps == [True, False, True, False]
+    ne = Bin("!=", Ident("a"), Ident("b"))
+    got_ne = [r["x"] for r in df.select(compile_expr(ne, df).alias("x")).collect()]
+    assert got_ne == [False, True, False, True]
+    # non-float operands keep exact null-safe equality under the env var
+    sdf = spark.createDataFrame([("x", "x"), ("x", "y")], "a string, b string")
+    got_s = [r["x"] for r in sdf.select(compile_expr(Bin("==", Ident("a"), Ident("b")), sdf).alias("x")).collect()]
+    assert got_s == [True, False]
