@@ -601,6 +601,64 @@ class CdcApplier:
             json.dump(payload, fh)
         os.replace(tmp, path)
 
+    def verify_epoch_receipts(self) -> list[dict]:
+        """Per-BATCH receipt verification -- the reference's batch-boundary
+        verify mode (engine-verify/src/verifier.rs:207-252) recast for the
+        lake: each epoch's own delta files are located via snapshot-history
+        diffs on the delta table (every exactly-once append is one snapshot
+        carrying its epoch bookmark), the commutative digest is recomputed
+        over exactly those rows under the schema AT THAT VERSION, and the
+        root is compared to the receipt persisted during apply. Tampering
+        with any applied batch flips its epoch to 'mismatch'. mor only
+        (cow merges rewrite whole buckets, so batch != files). Epochs
+        whose physical files were removed by snapshot expiry report
+        'missing_files' -- the receipt remains the durable record."""
+        if self.write_mode != "mor":
+            return []
+        from stratum_spark.verify.hashing import (
+            canonical_hash_col,
+            commutative_digest_aggs,
+            digest_row_to_root,
+        )
+
+        # epoch -> (new file entries, snapshot) from the history diffs
+        by_epoch: dict[int, tuple[list, object]] = {}
+        prev_files: set[str] = set()
+        prev_epoch = -1
+        for snap in self.deltas.history():
+            cur_epoch = snap.committed.get(self.job_id, {}).get("epoch", -1)
+            paths = {e.path for e in snap.files}
+            if cur_epoch > prev_epoch:
+                new = [e for e in snap.files if e.path not in prev_files]
+                by_epoch[cur_epoch] = (new, snap)
+            prev_files, prev_epoch = paths, max(prev_epoch, cur_epoch)
+        out = []
+        for rec in self.epoch_receipts():
+            ep = rec["epoch"]
+            entry = by_epoch.get(ep)
+            if entry is None:
+                out.append({"epoch": ep, "status": "no_files_recorded"})
+                continue
+            entries, snap = entry
+            missing = [
+                e.path for e in entries
+                if not os.path.isfile(os.path.join(self.deltas.root, e.path))
+            ]
+            if missing:
+                out.append({"epoch": ep, "status": "missing_files", "paths": missing})
+                continue
+            df = self.deltas._read_entries(entries, snap)
+            row = df.agg(*commutative_digest_aggs(canonical_hash_col(df))).first()
+            ok = (
+                int(row["n"]) == int(rec["n_rows"])
+                and digest_row_to_root(row) == rec["root"]
+            )
+            out.append(
+                {"epoch": ep, "status": "ok" if ok else "mismatch",
+                 "n_rows": int(row["n"]), "expected_rows": int(rec["n_rows"])}
+            )
+        return out
+
     def epoch_receipts(self) -> list[dict]:
         """This job's persisted per-epoch batch receipts, in epoch order."""
         rdir = os.path.join(self.warehouse, "tokens", "_meta", "receipts", self.job_id)

@@ -221,6 +221,15 @@ def cmd_status(args) -> int:
 
 def cmd_verify(args) -> int:
     ap = _applier(args)
+    if args.epochs:
+        res = ap.verify_epoch_receipts()
+        if args.json:
+            print(json.dumps(res))
+        else:
+            for r in res:
+                print(f"epoch {r['epoch']:6d}: {r['status']}")
+        bad = [r for r in res if r["status"] == "mismatch"]
+        return 2 if bad else 0
     if args.write_receipt:
         r = ap.receipt()
         print(f"receipt written: {r.n_buckets} buckets, {r.n_rows} rows")
@@ -315,6 +324,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("verify", help="verify destination vs stored receipt")
     p.add_argument("--write-receipt", action="store_true",
                    help="compute and store a fresh receipt instead")
+    p.add_argument("--epochs", action="store_true",
+                   help="batch-boundary mode: verify per-epoch receipts "
+                        "against each epoch's own delta files")
     p.add_argument("--json", action="store_true")
     _add_applier_args(p)
     p.set_defaults(fn=cmd_verify)
