@@ -59,6 +59,11 @@ class Field:
 class TableSchema:
     schema_id: int
     fields: tuple[Field, ...] = field(default_factory=tuple)
+    # highest field id EVER assigned (never decreases -- Iceberg's
+    # last-column-id): without it, dropping the highest-id column and
+    # re-adding a column would REUSE the dropped id, and the id-based
+    # read resolver would resurrect the dropped column's old values
+    last_field_id: int = 0
 
     # -- construction ----------------------------------------------------
     @staticmethod
@@ -71,6 +76,7 @@ class TableSchema:
                 Field(i + 1, f.name, f.dataType.simpleString(), f.nullable)
                 for i, f in enumerate(st)
             ),
+            last_field_id=len(st),
         )
 
     # -- views -----------------------------------------------------------
@@ -102,20 +108,25 @@ class TableSchema:
     def ddl(self) -> str:
         return ", ".join(f"{f.name} {f.type}" for f in self.fields)
 
+    @property
+    def _last_id(self) -> int:
+        # legacy schemas (no persisted counter) fall back to max live id
+        return max(self.last_field_id, self.max_field_id)
+
     # -- evolution (each returns a NEW schema with schema_id+1) ----------
     def add_column(self, name: str, type_ddl: str) -> "TableSchema":
         if any(f.name.lower() == name.lower() for f in self.fields):
             raise ValueError(f"column exists: {name}")
         parse_type(type_ddl)  # validate
-        nf = Field(self.max_field_id + 1, name, type_ddl, True)
-        return TableSchema(self.schema_id + 1, self.fields + (nf,))
+        nf = Field(self._last_id + 1, name, type_ddl, True)
+        return TableSchema(self.schema_id + 1, self.fields + (nf,), last_field_id=nf.id)
 
     def rename_column(self, old: str, new: str) -> "TableSchema":
         f = self.field_by_name(old)
         if any(g.name.lower() == new.lower() for g in self.fields):
             raise ValueError(f"column exists: {new}")
         fields = tuple(replace(g, name=new) if g.id == f.id else g for g in self.fields)
-        return TableSchema(self.schema_id + 1, fields)
+        return TableSchema(self.schema_id + 1, fields, last_field_id=self._last_id)
 
     def widen_type(self, name: str, new_type: str) -> "TableSchema":
         f = self.field_by_name(name)
@@ -125,16 +136,28 @@ class TableSchema:
             raise ValueError(f"illegal widen {f.type} -> {new_type} on {name}")
         parse_type(new_type)
         fields = tuple(replace(g, type=new_type) if g.id == f.id else g for g in self.fields)
-        return TableSchema(self.schema_id + 1, fields)
+        return TableSchema(self.schema_id + 1, fields, last_field_id=self._last_id)
 
     def drop_column(self, name: str) -> "TableSchema":
         f = self.field_by_name(name)
-        return TableSchema(self.schema_id + 1, tuple(g for g in self.fields if g.id != f.id))
+        return TableSchema(
+            self.schema_id + 1,
+            tuple(g for g in self.fields if g.id != f.id),
+            last_field_id=self._last_id,
+        )
 
     # -- serialization ---------------------------------------------------
     def to_json(self) -> dict:
-        return {"schema_id": self.schema_id, "fields": [f.to_json() for f in self.fields]}
+        return {
+            "schema_id": self.schema_id,
+            "fields": [f.to_json() for f in self.fields],
+            "last_field_id": self._last_id,
+        }
 
     @staticmethod
     def from_json(d: dict) -> "TableSchema":
-        return TableSchema(d["schema_id"], tuple(Field.from_json(f) for f in d["fields"]))
+        return TableSchema(
+            d["schema_id"],
+            tuple(Field.from_json(f) for f in d["fields"]),
+            last_field_id=d.get("last_field_id", 0),
+        )

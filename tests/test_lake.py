@@ -127,6 +127,30 @@ def test_widen_rejects_narrowing(table):
         table.widen_type("n_tok", "smallint")
 
 
+def test_drop_column_evolution(spark, tmp_path):
+    """DROP COLUMN is a metadata-only commit: old files still carry the
+    bytes, reads resolve to the narrowed schema, re-adding the same NAME
+    mints a fresh field id (no value resurrection -- Iceberg drop/add
+    semantics), and the merge key cannot be dropped."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "dc"),
+        "doc_id string, n_tok int, source string", key="doc_id", n_buckets=2,
+    )
+    df = spark.createDataFrame([("a", 1, "web"), ("b", 2, "books")],
+                               "doc_id string, n_tok int, source string")
+    t.append(df)
+    t.drop_column("source")
+    assert t.snapshot().schema.names == ["doc_id", "n_tok"]
+    got = rows_as_dict(t.read())
+    assert set(got) == {"a", "b"} and "source" not in got["a"]
+    # re-add same name: new field id -> old values do NOT resurrect
+    t.add_column("source", "string")
+    got = rows_as_dict(t.read())
+    assert got["a"]["source"] is None and got["b"]["source"] is None
+    with pytest.raises(ValueError):
+        t.drop_column("doc_id")  # merge key protected
+
+
 def test_bucket_pruning_reads_only_touched_buckets(spark, table):
     """A single-key merge must not rewrite every bucket."""
     # populate all buckets so at least one is untouched by the merge
