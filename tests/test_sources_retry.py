@@ -138,3 +138,38 @@ def test_jdbc_keyset_reader_against_embedded_derby(spark):
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
     got = {r["ID"]: (r["NAME"], r["SCORE"]) for r in df.collect()}
     assert len(got) == 500 and got[250] == ("doc-0250", 125.0)
+
+
+def test_jdbc_staged_upsert_merge_transaction(spark):
+    """The staging+MERGE sink transaction (postgres.rs:130-198) against a
+    real database: batch bulk-loads to staging via spark.write.jdbc, one
+    MERGE applies update/insert/delete arms, staging drops."""
+    from stratum_spark.sources.jdbc import jdbc_staged_upsert
+
+    url = "jdbc:derby:memory:sinktest;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate('CREATE TABLE tgt ("id" INT PRIMARY KEY, "v" VARCHAR(16))')
+    st.executeUpdate("INSERT INTO tgt VALUES (1,'a'),(2,'b'),(3,'c')")
+
+    batch = spark.createDataFrame(
+        [(2, "B", "U"), (4, "D4", "I"), (3, None, "D")],
+        "id int, v string, op string",
+    )
+    n = jdbc_staged_upsert(
+        spark, url, batch, "tgt", key="id", op_col="op",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    assert n == 3
+    rs = st.executeQuery('SELECT "id", "v" FROM tgt ORDER BY "id"')
+    got = {}
+    while rs.next():
+        got[rs.getInt(1)] = rs.getString(2)
+    assert got == {1: "a", 2: "B", 4: "D4"}  # updated, deleted 3, inserted 4
+    # staging table dropped after the merge
+    rs = st.executeQuery(
+        "SELECT count(*) AS n FROM SYS.SYSTABLES WHERE TABLENAME = 'TGT_STG'"
+    )
+    rs.next()
+    assert rs.getInt(1) == 0
