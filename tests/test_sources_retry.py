@@ -173,3 +173,65 @@ def test_jdbc_staged_upsert_merge_transaction(spark):
     )
     rs.next()
     assert rs.getInt(1) == 0
+
+
+def test_migrate_jdbc_source_to_lake_pipeline(spark, tmp_path):
+    """The reference's primary flow end-to-end with a REAL source
+    database: Derby table -> keyset-partitioned JDBC snapshot -> declarative
+    pipeline (filter + mapping + validation) -> lake destination."""
+    from stratum_spark.lake import LakeTable
+    from stratum_spark.plans import Catalog, PipelineSpec, ValidationRule, run_pipeline
+    from stratum_spark.functions import Bin, Ident, Lit
+    from stratum_spark.sources.jdbc import jdbc_keyset_reader
+
+    url = "jdbc:derby:memory:mig;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE src (id INT PRIMARY KEY, name VARCHAR(32), amount DOUBLE)"
+    )
+    ps = conn.prepareStatement("INSERT INTO src VALUES (?, ?, ?)")
+    for i in range(1, 201):
+        ps.setInt(1, i)
+        ps.setString(2, f"row-{i:03d}")
+        ps.setDouble(3, float(i))
+        ps.addBatch()
+    ps.executeBatch()
+    conn.commit()
+
+    src = jdbc_keyset_reader(
+        spark, url, "src", "id", 1, 200, num_partitions=4,
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    cat = Catalog(spark, {"src": src})
+    wh = {
+        "dst": LakeTable.create(
+            spark, str(tmp_path / "dst"),
+            "row_id bigint, label string, amount double",
+            key="row_id", n_buckets=4,
+        )
+    }
+    spec = PipelineSpec(
+        name="migrate",
+        source="src",
+        destination="dst",
+        filter=Bin(">", Ident("AMOUNT"), Lit(50.0)),
+        mappings=(
+            ("row_id", "ID"),
+            ("label", "NAME"),
+            ("amount", "AMOUNT"),
+        ),
+        copy_columns="MAP_ONLY",
+        validations=(
+            ValidationRule("amount_sane", Bin("<", Ident("amount"), Lit(190.0)), "skip"),
+        ),
+        write_mode="upsert",
+    )
+    res = run_pipeline(spec, cat, wh)
+    assert res.error is None
+    # rows 51..189 pass both filter and gate; 190..200 skipped to DLQ count
+    assert res.rows_written == 139
+    assert res.rows_failed == 11
+    out = {r["row_id"]: r for r in wh["dst"].read().collect()}
+    assert len(out) == 139 and out[100]["label"] == "row-100"
