@@ -65,3 +65,57 @@ def test_merge_fuzz_matches_model(spark, tmp_path, seed):
         )
         assert st.epoch_skipped
     assert {r["k"]: (r["v"], r["lsn"]) for r in t.read().collect()} == want
+
+
+@pytest.mark.parametrize("seed", [7, 31, 101])
+def test_mor_fuzz_random_feed_kill_resume_compaction(spark, tmp_path, seed):
+    """Merge-on-read fuzz: an ARBITRARY seeded event stream (not the
+    generator's shape) with invalid rows, random epoch size, a random
+    kill point, a resume in a fresh applier, and a random compaction
+    policy must converge to the dict-replay oracle with every
+    (doc_id, lsn) applied at most once."""
+    import datetime
+
+    from stratum_spark.cdc import CdcApplier, write_binlog
+    from stratum_spark.cdc.binlog import BINLOG_DDL
+    from stratum_spark.cdc.oracle import replay_binlog, state_as_records
+
+    rng = random.Random(seed)
+    rows = []
+    for lsn in range(1, 401):
+        doc = f"d{rng.randrange(20):02d}"
+        op = rng.choices(["I", "U", "D"], weights=[2, 5, 2])[0]
+        if op == "D":
+            toks, n_tok, source, lang = None, None, None, None
+        else:
+            toks = [rng.randrange(100) for _ in range(rng.randrange(1, 5))]
+            # ~5% invalid rows must land in the DLQ, never the table
+            n_tok = len(toks) + (1 if rng.random() < 0.05 else 0)
+            source, lang = rng.choice(["web", "books"]), rng.choice(["en", "de"])
+        rows.append(
+            (lsn, datetime.datetime(2026, 1, 1), op, doc, toks, n_tok, source, lang, 0)
+        )
+    feed = spark.createDataFrame(rows, BINLOG_DDL)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(feed, binlog, n_chunks=3)
+
+    epoch_size = rng.choice([60, 90, 130])
+    ratio = rng.choice([None, 0.4])
+    wh = str(tmp_path / "wh")
+    ap1 = CdcApplier(spark, wh, job_id="fz", n_buckets=4, evolution=[],
+                     write_mode="mor", auto_compact_ratio=ratio)
+    ap1.run_backfill(binlog, epoch_size=epoch_size,
+                     stop_after=rng.randrange(1, 3))  # the kill
+    ap2 = CdcApplier(spark, wh, job_id="fz", n_buckets=4, evolution=[],
+                     write_mode="mor", auto_compact_ratio=ratio)
+    ap2.run_backfill(binlog, epoch_size=epoch_size)
+    ap2.compact_deltas()
+
+    want = state_as_records(replay_binlog(binlog), table_schema_ver=0)
+    got = {r["doc_id"]: r.asDict() for r in ap2.state().collect()}
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k, w in want.items():
+        assert list(got[k]["tokens"]) == list(w["tokens"]), (k, seed)
+        assert got[k]["source"] == w["source"], (k, seed)
+    n = ap2.tokens.read().count()
+    assert n == ap2.tokens.read().select("doc_id").distinct().count()
