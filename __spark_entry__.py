@@ -431,15 +431,25 @@ _CDC_GATE_PARAMS = dict(n_docs=120, n_events=600, seed=42, max_tokens=16)
 
 
 def _cdc_gate_binlog(spark) -> str:
+    import json as _json
+
     from stratum_spark.cdc import generate_binlog, write_binlog
 
     d = os.path.join(_CDC_GATE_ROOT, "binlog")
     marker = os.path.join(d, "_DONE")
-    if not os.path.isfile(marker):
+    # the marker carries the generation-parameter fingerprint: a stale
+    # feed left by an earlier run with different parameters regenerates
+    # instead of silently mismatching the oracle
+    fpr = _json.dumps(_CDC_GATE_PARAMS, sort_keys=True)
+    have = None
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            have = fh.read()
+    if have != fpr:
         feed = generate_binlog(spark, **_CDC_GATE_PARAMS)
         write_binlog(feed, d, n_chunks=2)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(fpr)
     return d
 
 
