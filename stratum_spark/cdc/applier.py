@@ -636,7 +636,9 @@ class CdcApplier:
         for rec in self.epoch_receipts():
             ep = rec["epoch"]
             entry = by_epoch.get(ep)
-            if entry is None:
+            if entry is None or (not entry[0] and int(rec["n_rows"]) > 0):
+                # unattributable: the snapshot chain for this epoch was
+                # expired (or truncated history starts after it)
                 out.append({"epoch": ep, "status": "no_files_recorded"})
                 continue
             entries, snap = entry

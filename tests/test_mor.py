@@ -197,6 +197,14 @@ def test_verify_epoch_receipts_batch_boundary(spark, tmp_path):
     assert res2[tampered_epoch] == "mismatch"
     assert all(s == "ok" for e, s in res2.items() if e != tampered_epoch), res2
 
+    # snapshot expiry removes the physical epoch files (post-compaction
+    # nothing references them) -> receipts survive as the durable record
+    # and verification reports missing_files instead of false positives
+    ap.deltas.expire_snapshots(keep_last=1)
+    res3 = {r["epoch"]: r["status"] for r in ap.verify_epoch_receipts()}
+    assert set(res3.values()) <= {"missing_files", "no_files_recorded"}, res3
+    assert len(res3) == len(res2)
+
 
 def test_mor_defer_dedup_matches_and_is_narrow(spark, tmp_path):
     """epoch_dedup=False appends the epoch's valid rows as-is (narrow
