@@ -59,7 +59,45 @@ def _load_doc(path: str):
 def _catalog(spark, args):
     from stratum_spark.plans.pipeline import Catalog
 
-    return Catalog(spark, _parse_tables(args.table))
+    entries: dict[str, object] = dict(_parse_tables(args.table))
+    # --jdbc-table NAME=URL|TABLE|KEY|LO|HI[|DRIVER]: a live database
+    # source read through the keyset-partitioned snapshot reader
+    for spec in getattr(args, "jdbc_table", None) or []:
+        name, rest = spec.split("=", 1)
+        parts = rest.split("|")
+        if len(parts) not in (5, 6):
+            raise SystemExit(
+                f"--jdbc-table expects NAME=URL|TABLE|KEY|LO|HI[|DRIVER], got: {spec}"
+            )
+        from stratum_spark.sources.jdbc import jdbc_keyset_reader
+
+        props = {"driver": parts[5]} if len(parts) == 6 else {}
+        entries[name] = jdbc_keyset_reader(
+            spark, parts[0], parts[1], parts[2], int(parts[3]), int(parts[4]),
+            properties=props,
+        )
+    return Catalog(spark, entries)
+
+
+def cmd_ping(args) -> int:
+    """Connectivity probe (stratum `ping`): open the JDBC connection and
+    report the database product/version."""
+    spark = _spark(args)
+    jvm = spark._jvm
+    try:
+        if args.driver:
+            jvm.java.lang.Class.forName(args.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(args.url)
+        md = conn.getMetaData()
+        print(
+            f"ok: {md.getDatabaseProductName()} {md.getDatabaseProductVersion()} "
+            f"({md.getURL()})"
+        )
+        conn.close()
+        return 0
+    except Exception as e:
+        print(f"FAILED: {e}")
+        return 1
 
 
 def _dest_tables(doc, catalog, warehouse_dir: str) -> dict:
@@ -291,6 +329,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("plan", help="dry-run report for an SMQL config")
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--table", action="append", metavar="NAME=PATH")
+    p.add_argument("--jdbc-table", action="append",
+                   metavar="NAME=URL|TABLE|KEY|LO|HI[|DRIVER]")
     p.add_argument("-o", "--output")
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_plan)
@@ -298,9 +338,17 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("apply", help="execute an SMQL config")
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--table", action="append", metavar="NAME=PATH")
+    p.add_argument("--jdbc-table", action="append",
+                   metavar="NAME=URL|TABLE|KEY|LO|HI[|DRIVER]")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_apply)
+
+    p = sub.add_parser("ping", help="JDBC connectivity probe")
+    p.add_argument("--url", required=True)
+    p.add_argument("--driver", default=None)
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_ping)
 
     p = sub.add_parser("backfill", help="CDC batch apply (resumable)")
     p.add_argument("--binlog", required=True)

@@ -95,3 +95,30 @@ def test_pyfiles_zip_is_self_contained(tmp_path):
     )
     assert probe.returncode == 0, probe.stderr
     assert "stratum_spark" in probe.stdout
+
+
+def test_cli_ping_and_jdbc_source(spark, tmp_path, capsys):
+    """ping probes a live JDBC url; plan/apply accept --jdbc-table
+    sources (keyset-partitioned reads of a real database)."""
+    url = "jdbc:derby:memory:clidb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        'CREATE TABLE items ("o_orderkey" INT PRIMARY KEY, "o_totalprice" DOUBLE)'
+    )
+    st.executeUpdate('INSERT INTO items VALUES (1, 150000.0), (2, 250000.0), (3, 50.0)')
+
+    assert main(["ping", "--url", url]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("ok: Apache Derby")
+    assert main(["ping", "--url", "jdbc:derby:memory:doesnotexist"]) == 1
+    capsys.readouterr()
+
+    cfg = tmp_path / "o.smql"
+    cfg.write_text(SMQL.format())
+    jt = f"orders={url}|items|o_orderkey|1|3|org.apache.derby.jdbc.EmbeddedDriver"
+    assert main(["apply", "-c", str(cfg), "--jdbc-table", jt,
+                 "--warehouse", str(tmp_path / "whj")]) == 0
+    out = capsys.readouterr().out
+    assert "ok" in out and "written=2" in out  # rows 1 and 2 pass the filter
