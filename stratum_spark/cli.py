@@ -174,15 +174,26 @@ def cmd_apply(args) -> int:
 
 def _applier(args):
     from stratum_spark.cdc import CdcApplier
+    from stratum_spark.lake import LakeTable
 
     spark = _spark(args)
+    mode = args.write_mode
+    if mode == "auto":
+        # inspect-only commands must not mutate the warehouse: opening a
+        # cow warehouse in mor mode would CREATE its delta table, so the
+        # mode is detected from what exists on disk
+        mode = (
+            "mor"
+            if LakeTable.exists(os.path.join(args.warehouse, "tokens_deltas"))
+            else "cow"
+        )
     return CdcApplier(
         spark,
         args.warehouse,
         job_id=args.job_id,
         n_buckets=args.n_buckets,
         n_events_hint=args.events_hint,
-        write_mode=args.write_mode,
+        write_mode=mode,
         auto_compact_ratio=args.compact_ratio,
     )
 
@@ -215,15 +226,11 @@ def cmd_stream(args) -> int:
 def cmd_status(args) -> int:
     from stratum_spark.lake import LakeTable
 
-    spark = _spark(args)
     tok_root = os.path.join(args.warehouse, "tokens")
     if not LakeTable.exists(tok_root):
         print(f"no engine state under {args.warehouse}")
         return 1
-    from stratum_spark.cdc import CdcApplier
-
-    ap = CdcApplier(spark, args.warehouse, job_id=args.job_id,
-                    write_mode=args.write_mode)
+    ap = _applier(args)
     payload = {
         "warehouse": os.path.abspath(args.warehouse),
         "job_id": args.job_id,
@@ -312,10 +319,12 @@ def cmd_version(args) -> int:
     return 0
 
 
-def _add_applier_args(p: argparse.ArgumentParser) -> None:
+def _add_applier_args(p: argparse.ArgumentParser, default_mode: str = "mor") -> None:
     p.add_argument("--warehouse", required=True)
     p.add_argument("--job-id", default="cdc")
-    p.add_argument("--write-mode", choices=("cow", "mor"), default="mor")
+    # writers default to mor (the headline ingest path); inspect-only
+    # commands default to auto-detecting what the warehouse already is
+    p.add_argument("--write-mode", choices=("cow", "mor", "auto"), default=default_mode)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--events-hint", type=int, default=None)
     p.add_argument("--compact-ratio", type=float, default=None)
@@ -366,7 +375,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("status", help="engine state for a warehouse")
     p.add_argument("--json", action="store_true")
-    _add_applier_args(p)
+    _add_applier_args(p, "auto")
     p.set_defaults(fn=cmd_status)
 
     p = sub.add_parser("verify", help="verify destination vs stored receipt")
@@ -376,11 +385,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="batch-boundary mode: verify per-epoch receipts "
                         "against each epoch's own delta files")
     p.add_argument("--json", action="store_true")
-    _add_applier_args(p)
+    _add_applier_args(p, "auto")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("compact", help="fold merge-on-read deltas into the base")
-    _add_applier_args(p)
+    _add_applier_args(p, "auto")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("reset", help="drop a warehouse's state")
