@@ -80,7 +80,24 @@ class CdcApplier:
         write_mode: str = "cow",
         auto_compact_ratio: float | None = None,
         epoch_dedup: bool = True,
+        lww_strategy: str | None = None,
     ):
+        # per-epoch LWW implementation (mor delta path only; cow's MERGE
+        # consumes the deduped batch in a shuffle anyway so the aggregate
+        # is already optimal there):
+        #   'shuffle'   groupBy + max_by -- one full-row exchange, skew-proof,
+        #               the right shape past ~50 executors (see
+        #               cdc/dedup.py::lww_dedup_broadcast scale policy)
+        #   'broadcast' winner-lsn broadcast semi-join -- the heavy token
+        #               columns never shuffle (narrow plan); right for
+        #               single-node and small-to-mid clusters
+        # default: env STRATUM_LWW_STRATEGY, else 'broadcast' for mor
+        # (this sandbox and the bench are single-node).
+        if lww_strategy is None:
+            lww_strategy = os.environ.get("STRATUM_LWW_STRATEGY", "broadcast")
+        if lww_strategy not in ("shuffle", "broadcast"):
+            raise ValueError(f"unknown lww_strategy {lww_strategy}")
+        self.lww_strategy = lww_strategy
         # epoch_dedup=False (mor only): skip the per-epoch LWW aggregate
         # and append the epoch's valid rows AS-IS -- the delta write
         # becomes a fully NARROW plan (scan -> map -> write, zero
@@ -231,6 +248,63 @@ class CdcApplier:
         return "corpus" if "corpus" in names else "source"
 
     # ------------------------------------------------------------------
+    # DLQ (exactly-once side channel)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bad_pred():
+        return (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
+
+    def _dlq_frame(self, events: DataFrame) -> DataFrame:
+        return events.where(self._bad_pred()).select(
+            F.col("lsn"),
+            F.col("doc_id"),
+            F.lit("n_tok_mismatch").alias("rule"),
+            F.format_string(
+                "n_tok=%s != size(tokens)=%s", F.col("n_tok"), F.size("tokens")
+            ).alias("message"),
+            F.to_json(F.struct("lsn", "op", "doc_id", "n_tok", "schema_ver")).alias(
+                "payload"
+            ),
+            F.current_timestamp().alias("failed_at"),
+        )
+
+    def _append_dlq_epoch(self, events: DataFrame, epoch: int) -> int:
+        """Exactly-once DLQ append: the failed rows commit with a
+        (job_id, epoch) bookmark on the DLQ table itself, so a replayed
+        epoch's DLQ write is a no-op (no duplicates after a crash between
+        the DLQ commit and the merge commit). The opposite window -- merge
+        committed, DLQ lost -- is closed by catch-up: run_backfill replays
+        lagging DLQ epochs at startup, and a streaming restart's replayed
+        micro-batch hits the epoch-skip path in _prepare_epoch, which runs
+        exactly this append for the skipped epoch. The bookmark advances
+        even for epochs with zero failed rows so catch-up never rescans
+        clean epochs."""
+        return self.dlq.append_epoch(
+            self._dlq_frame(events),
+            job_id=self.job_id,
+            epoch=epoch,
+            epoch_mode=self.epoch_mode,
+            clustered=False,
+        )
+
+    def _dlq_catchup(self, slice_of, upto_epoch: int) -> None:
+        """Replay the DLQ side-channel for epochs the main table committed
+        but the DLQ bookmark missed (crash after merge commit, before the
+        DLQ flush). slice_of(epoch) -> that epoch's feed slice."""
+        if not self.validate:
+            return
+        start = self.dlq.committed_epoch(self.job_id) + 1
+        for ep in range(start, upto_epoch + 1):
+            self._append_dlq_epoch(slice_of(ep), ep)
+
+    def pause_requested(self) -> bool:
+        """The CLI's `pause` verb drops a marker file in the warehouse;
+        the backfill loops check it between epochs and stop after the
+        current atomic epoch commit (stratum's graceful pause,
+        crates/cli/src/commands/pause.rs)."""
+        return os.path.exists(os.path.join(self.warehouse, "_PAUSE"))
+
+    # ------------------------------------------------------------------
     def apply_epoch(self, events: DataFrame, epoch: int) -> EpochStats:
         """One epoch end-to-end: prepare (validate/dedup/stats, concurrent
         DLQ + lineage jobs) then commit (MERGE + lineage rows). Split so the
@@ -281,9 +355,16 @@ class CdcApplier:
 
         t0 = time.time()
         if epoch <= self._bookmark_table.committed_epoch(self.job_id):
+            # replayed epoch (streaming restart redelivers the last batch):
+            # the main commit is skipped, but a crash between the merge
+            # commit and the DLQ flush may have lost this epoch's DLQ rows
+            # -- the bookmarked append below restores them (no-op if the
+            # DLQ commit survived)
+            if self.validate and epoch > self.dlq.committed_epoch(self.job_id):
+                self._append_dlq_epoch(events, epoch)
             return None
 
-        bad_pred = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.size("tokens"))
+        bad_pred = self._bad_pred()
         # copy-on-write MERGE prunes to touched buckets, so the stats job
         # must scan every column the bucket/validity exprs need; a
         # merge-on-read APPEND needs no bucket discovery at all, letting
@@ -361,22 +442,11 @@ class CdcApplier:
                 parts_future = pool.submit(parts_job)
                 parts = None
 
-            # DLQ write overlaps everything; append skips empty batches
+            # DLQ write overlaps everything (its own bookmarked exactly-once
+            # commit -- see _append_dlq_epoch for the crash-window analysis)
             dlq_future = None
             if self.validate:
-                dlq_rows = events.where(bad_pred).select(
-                    F.col("lsn"),
-                    F.col("doc_id"),
-                    F.lit("n_tok_mismatch").alias("rule"),
-                    F.format_string(
-                        "n_tok=%s != size(tokens)=%s", F.col("n_tok"), F.size("tokens")
-                    ).alias("message"),
-                    F.to_json(F.struct("lsn", "op", "doc_id", "n_tok", "schema_ver")).alias(
-                        "payload"
-                    ),
-                    F.current_timestamp().alias("failed_at"),
-                )
-                dlq_future = pool.submit(self.dlq.append, dlq_rows)
+                dlq_future = pool.submit(self._append_dlq_epoch, events, epoch)
 
             good = events.where(~bad_pred) if self.validate else events
 
@@ -398,11 +468,17 @@ class CdcApplier:
             # merge pass is what materializes it, and the integrity digest
             # observation fires on that same scan. With epoch_dedup=False
             # (mor), the rows pass through as-is and the append plan has no
-            # exchange at all.
-            if self.epoch_dedup:
-                deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
-            else:
+            # exchange at all. The mor delta path picks the configured
+            # strategy (broadcast keeps the token columns exchange-free);
+            # lsn is globally unique, so both produce identical rows.
+            if not self.epoch_dedup:
                 deduped = mapped
+            elif self.write_mode == "mor" and self.lww_strategy == "broadcast":
+                from stratum_spark.cdc.dedup import lww_dedup_broadcast
+
+                deduped = lww_dedup_broadcast(mapped, key="doc_id", order_col="lsn")
+            else:
+                deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
             receipt_obs = None
             # Observation.get resolves via a QueryExecutionListener event;
             # plans executed INSIDE foreachBatch (streaming micro-batches)
@@ -621,11 +697,23 @@ class CdcApplier:
             digest_row_to_root,
         )
 
-        # epoch -> (new file entries, snapshot) from the history diffs
+        # epoch -> (new file entries, snapshot) from the history diffs.
+        # The diff baseline is the FIRST RETAINED snapshot, not an empty
+        # set: if expire_snapshots removed early append snapshots without a
+        # prior compaction, that first snapshot already carries the
+        # cumulative file set of every expired epoch -- diffing it against
+        # empty would attribute all of it to one epoch and raise a false
+        # tamper alarm. Epochs at or below the truncated baseline are
+        # unattributable and report 'no_files_recorded'.
+        history = self.deltas.history()
+        if not history:
+            return []
+        first = history[0]
+        baseline_epoch = first.committed.get(self.job_id, {}).get("epoch", -1)
         by_epoch: dict[int, tuple[list, object]] = {}
-        prev_files: set[str] = set()
-        prev_epoch = -1
-        for snap in self.deltas.history():
+        prev_files: set[str] = {e.path for e in first.files}
+        prev_epoch = baseline_epoch
+        for snap in history[1:]:
             cur_epoch = snap.committed.get(self.job_id, {}).get("epoch", -1)
             paths = {e.path for e in snap.files}
             if cur_epoch > prev_epoch:
@@ -706,12 +794,20 @@ class CdcApplier:
             max_lsn = feed.agg(F.max("lsn")).collect()[0][0] or 0
         out: list[EpochStats] = []
         start_epoch = self._bookmark_table.committed_epoch(self.job_id) + 1
+
+        def slice_of(ep: int):
+            lo, hi = ep * epoch_size + 1, (ep + 1) * epoch_size
+            return feed.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+
+        # crash recovery: epochs the merge committed but whose DLQ flush was
+        # lost replay their (bookmarked, idempotent) DLQ append first
+        self._dlq_catchup(slice_of, start_epoch - 1)
         n_epochs = (max_lsn + epoch_size - 1) // epoch_size
         done = 0
         for ep in range(start_epoch, n_epochs):
-            lo, hi = ep * epoch_size + 1, (ep + 1) * epoch_size
-            sl = feed.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
-            out.append(self.apply_epoch(sl, ep))
+            if self.pause_requested():
+                break
+            out.append(self.apply_epoch(slice_of(ep), ep))
             done += 1
             if compact_every and done % compact_every == 0:
                 self.compact_deltas()
@@ -745,10 +841,19 @@ class CdcApplier:
             lo, hi = ep * epoch_size + 1, (ep + 1) * epoch_size
             return feed.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
 
+        self._dlq_catchup(slice_of, start_epoch - 1)
+
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             i = 0
             next_prep = None
             while i < len(epochs):
+                if self.pause_requested():
+                    if next_prep is not None:
+                        prep = next_prep.result()
+                        if prep is not None:  # abandon the prefetched epoch
+                            prep["pool"].shutdown(wait=True)
+                            prep["events"].unpersist()
+                    break
                 ep = epochs[i]
                 if next_prep is not None:
                     prep = next_prep.result()

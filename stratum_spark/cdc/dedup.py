@@ -38,6 +38,31 @@ def lww_dedup(df: DataFrame, key: str = "doc_id", order_col: str = "lsn") -> Dat
     return df.groupBy(key).agg(row).select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
+def lww_dedup_broadcast(
+    df: DataFrame, key: str = "doc_id", order_col: str = "lsn"
+) -> DataFrame:
+    """LWW via winner broadcast: the per-key max(order_col) computes on a
+    COLUMN-PRUNED branch (the shuffle carries ~(key, lsn) only -- with
+    parquet input the scan itself skips the heavy columns), then a
+    broadcast SEMI join filters the full rows to the winners -- the heavy
+    columns flow scan -> join -> sink with ZERO exchange. Ties on
+    order_col (at-least-once re-emission of identical events -- duplicates
+    carry identical payloads by contract) keep ALL copies where lww_dedup
+    keeps one: state-equivalent, not row-identical, so use it only where
+    the consumer resolves multi-row keys (the mor delta path does -- its
+    readers and compactor run the LWW rule over arbitrary multi-row delta
+    sets; copy-on-write MERGE requires the collapsing aggregate).
+
+    Scale policy vs lww_dedup (the shuffle aggregate): broadcast traffic is
+    |winners| * ~30 B * n_executors, the shuffle's is 2x the batch's full
+    bytes. For a 2M-event epoch (~0.7M winners, ~20 MB) the broadcast wins
+    up to roughly 50-60 executors and on every single-node/local layout;
+    past that the shuffle aggregate wins -- pick per deployment
+    (CdcApplier(lww_strategy=...))."""
+    winners = df.groupBy(key).agg(F.max(order_col).alias(order_col))
+    return df.join(F.broadcast(winners), [key, order_col], "left_semi")
+
+
 def lww_dedup_window(df: DataFrame, key: str = "doc_id", order_col: str = "lsn") -> DataFrame:
     """row_number()==1 over (partition by key order by lsn desc) -- parity
     formulation; prefer lww_dedup on skewed feeds."""

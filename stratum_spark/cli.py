@@ -100,9 +100,11 @@ def cmd_ping(args) -> int:
         return 1
 
 
-def _dest_tables(doc, catalog, warehouse_dir: str) -> dict:
+def _dest_tables(doc, catalog, warehouse_dir: str, n_buckets: int = 16) -> dict:
     """Create (or load) a lake table per pipeline destination, schema
-    derived from the compiled pipeline output (names + Spark types)."""
+    derived from the compiled pipeline output (names + Spark types);
+    n_buckets (CLI --buckets) sizes the hash-bucket layout of newly
+    created tables (existing tables keep theirs)."""
     from stratum_spark.lake import LakeTable
     from stratum_spark.plans.pipeline import compile_pipeline
 
@@ -116,13 +118,9 @@ def _dest_tables(doc, catalog, warehouse_dir: str) -> dict:
         df, _, _ = compile_pipeline(spec, catalog)
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         wh[spec.destination] = LakeTable.create(
-            catalog.spark, root, ddl, key=spec.key, n_buckets=args_buckets(spec)
+            catalog.spark, root, ddl, key=spec.key, n_buckets=n_buckets
         )
     return wh
-
-
-def args_buckets(spec) -> int:
-    return 16
 
 
 def cmd_plan(args) -> int:
@@ -158,7 +156,7 @@ def cmd_apply(args) -> int:
     doc = _load_doc(args.config)
     spark = _spark(args)
     catalog = _catalog(spark, args)
-    wh = _dest_tables(doc, catalog, args.warehouse)
+    wh = _dest_tables(doc, catalog, args.warehouse, n_buckets=args.buckets)
     results = run_document(doc, catalog, wh)
     failed = 0
     for name, r in results.items():
@@ -298,6 +296,43 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def _pause_marker(warehouse: str) -> str:
+    return os.path.join(warehouse, "_PAUSE")
+
+
+def cmd_pause(args) -> int:
+    """Graceful pause (stratum `pause`, crates/cli/src/commands/pause.rs):
+    drop a pause marker in the warehouse -- a running backfill checks it
+    between epochs and stops after finishing the current one (every epoch
+    is an atomic commit, so stopping between epochs loses nothing)."""
+    os.makedirs(args.warehouse, exist_ok=True)
+    with open(_pause_marker(args.warehouse), "w") as fh:
+        fh.write("paused\n")
+    print(
+        f"pause requested: marker written to {_pause_marker(args.warehouse)}; "
+        "a running backfill stops after its current epoch. "
+        "`resume` clears the marker and continues from the committed bookmark."
+    )
+    return 0
+
+
+def cmd_resume(args) -> int:
+    """Resume (stratum `resume`, crates/cli/src/commands/resume.rs): clear
+    the pause marker and, if --binlog is given, continue the backfill from
+    the committed epoch bookmark (identical to re-running `backfill` --
+    exactly-once resume is the engine's checkpoint contract)."""
+    marker = _pause_marker(args.warehouse)
+    if os.path.exists(marker):
+        os.remove(marker)
+        print("pause marker cleared")
+    else:
+        print("no pause marker present")
+    if args.binlog:
+        return cmd_backfill(args)
+    print("no --binlog given: state left ready; re-run `backfill`/`stream` to continue")
+    return 0
+
+
 def cmd_reset(args) -> int:
     import shutil
 
@@ -350,6 +385,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jdbc-table", action="append",
                    metavar="NAME=URL|TABLE|KEY|LO|HI[|DRIVER]")
     p.add_argument("--warehouse", required=True)
+    p.add_argument("--buckets", type=int, default=16,
+                   help="hash buckets for newly created destination tables")
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_apply)
 
@@ -372,6 +409,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files", type=int, default=4)
     _add_applier_args(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("pause", help="request graceful pause of a running backfill")
+    p.add_argument("--warehouse", required=True)
+    p.set_defaults(fn=cmd_pause)
+
+    p = sub.add_parser("resume", help="clear pause and continue the backfill")
+    p.add_argument("--binlog", default=None)
+    p.add_argument("--epoch-size", type=int, default=100_000)
+    p.add_argument("--pipelined", action="store_true")
+    _add_applier_args(p)
+    p.set_defaults(fn=cmd_resume)
 
     p = sub.add_parser("status", help="engine state for a warehouse")
     p.add_argument("--json", action="store_true")

@@ -228,6 +228,22 @@ class LakeTable:
             v = 0
         while os.path.isfile(self._version_path(v + 1)):
             v += 1
+        if v == 0 or not os.path.isfile(self._version_path(v)):
+            # the hint is missing/corrupt AND the forward scan found no
+            # contiguous successor (e.g. expire_snapshots removed early
+            # versions, or a crash left the unfsynced pointer stale): fall
+            # back to a full directory scan for the max retained version
+            # instead of leaving the table unopenable
+            try:
+                vs = [
+                    int(f[1:11])
+                    for f in os.listdir(os.path.join(self.root, _META))
+                    if f.startswith("v") and f.endswith(".json")
+                ]
+            except FileNotFoundError:
+                vs = []
+            if vs:
+                v = max(vs)
         return v
 
     def snapshot(self, version: int | None = None, refresh: bool = True) -> Snapshot:
@@ -425,10 +441,28 @@ class LakeTable:
             if fn.endswith(".parquet") and fn.startswith("part-"):
                 split = int(fn.split("-")[1])
                 todo.append((os.path.join(rel_dir, fn), split, os.path.join(out_dir, fn)))
-        from concurrent.futures import ThreadPoolExecutor
+        # per-file row counts for the manifest: driver-side footer reads are
+        # bounded by a CONSTANT (small commits -- the epoch hot path, where
+        # a Spark job's fixed latency would cost more than the reads); past
+        # the threshold the footers are read EXECUTOR-side in one tiny job,
+        # so commits of thousands of files (the 100 TB sizing) never
+        # serialize metadata work on the driver -- the same reason real
+        # table formats have executors emit manifest entries.
+        limit = int(os.environ.get("STRATUM_FOOTER_DRIVER_MAX", "64"))
+        if len(todo) <= limit:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            rows = list(ex.map(lambda t: _parquet_rows(t[2]), todo))
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                rows = list(ex.map(lambda t: _parquet_rows(t[2]), todo))
+        else:
+            paths = [t[2] for t in todo]
+            k = max(1, min(len(paths) // 16 + 1, 64))
+            by_path = dict(
+                self.spark.sparkContext.parallelize(paths, k)
+                .map(lambda p: (p, _parquet_rows(p)))
+                .collect()
+            )
+            rows = [by_path[p] for p in paths]
         return [
             FileEntry(
                 path=rel,

@@ -123,11 +123,22 @@ def ngram_jaccard_pairs(
     postings against the hot-gram list. The hot list is bounded by
     total_postings/max_df short strings -- broadcastable in any realistic
     corpus; at a scale where it is not, drop the hint and the shuffled
-    anti-join still streams the probe side. Verification counts shared
-    grams over the FULL posting set, so the Jaccard of every surviving
-    pair is exact; only pairs whose shared shingles are ALL above max_df
+    anti-join still streams the probe side.
+
+    Candidate-volume design: the self-join's matching rows feed ONE
+    partial-agg count (map-side combine on the pair key), giving each
+    pair's |shared kept grams| directly -- the matching rows are consumed
+    once, never deduped and re-joined. Because a pair can additionally
+    share at most min(hot_a, hot_b) of its docs' above-cap grams, the
+    exact Jaccard is bounded above by
+    (ck + min(hot_a, hot_b)) / (na + nb - ck - min(hot_a, hot_b)); pairs
+    below tau on that bound are pruned EXACTLY. Pairs with no hot grams on
+    either side have ck == |shared grams| outright and emit without any
+    further join; only pairs touching hot docs re-verify over the FULL
+    posting set. The result set is identical to the pre-prune formulation
+    by construction: only pairs whose shared shingles are ALL above max_df
     can be missed (near-dup pairs share many shingles, so rare ones too).
-    Candidates shuffle as ids only."""
+    Candidates shuffle as ids + counts only."""
     inv = gram_frame(docs, n)
     n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
@@ -137,11 +148,34 @@ def ngram_jaccard_pairs(
         .select("g")
     )
     kept = inv.join(F.broadcast(hot), "g", "left_anti")
+    n_kept = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
     a, b = kept.alias("a"), kept.alias("b")
-    cand = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return _verify_jaccard_counts(cand, inv, n_sh, tau)
+    common_kept = (
+        a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ck"))
+    )
+    stats = n_sh.join(n_kept, "doc_id", "left").na.fill({"n_kept": 0})
+    sa = stats.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("n_kept").alias("ka")
+    )
+    sb = stats.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("n_kept").alias("kb")
+    )
+    cand = common_kept.join(sa, "doc_a").join(sb, "doc_b")
+    hot_a, hot_b = F.col("na") - F.col("ka"), F.col("nb") - F.col("kb")
+    no_hot = (hot_a == 0) & (hot_b == 0)
+    max_common = F.col("ck") + F.least(hot_a, hot_b)
+    ub = max_common.cast("double") / (F.col("na") + F.col("nb") - max_common)
+    cand = cand.where(ub >= tau)
+    jac = F.col("ck").cast("double") / (F.col("na") + F.col("nb") - F.col("ck"))
+    out_exact = cand.where(no_hot & (jac >= tau)).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+    recheck = cand.where(~no_hot).select("doc_a", "doc_b")
+    return out_exact.unionByName(_verify_jaccard_counts(recheck, inv, n_sh, tau))
 
 
 # ---------------------------------------------------------------------------

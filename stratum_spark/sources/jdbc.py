@@ -46,6 +46,113 @@ def jdbc_keyset_reader(
     return reader.load()
 
 
+def detect_dialect(url: str) -> str:
+    """Dialect from the JDBC URL scheme. 'ansi' (MERGE INTO) covers
+    Derby, PostgreSQL 15+, SQL Server, Oracle, DB2; 'postgres' uses
+    INSERT .. ON CONFLICT (works on every supported PG, including <15
+    which has no MERGE); 'mysql' uses INSERT .. ON DUPLICATE KEY UPDATE
+    (MySQL has no MERGE at all). The reference makes the same capability
+    branch: MERGE when the server supports it, else the dialect upsert
+    (crates/engine-processing/src/io/sink/postgres.rs:92-99)."""
+    u = url.lower()
+    if u.startswith("jdbc:mysql:") or u.startswith("jdbc:mariadb:"):
+        return "mysql"
+    if u.startswith("jdbc:postgresql:"):
+        return "postgres"
+    return "ansi"
+
+
+def upsert_statements(
+    dialect: str,
+    table: str,
+    staging: str,
+    data_cols: list[str],
+    key: str,
+    op_col: str | None,
+) -> list[str]:
+    """Render the dialect-specific upsert transaction as SQL text
+    (statement shapes: crates/connectors/src/sql/query/generator.rs:187-267;
+    golden-string-tested like the reference's generator tests,
+    generator.rs:701-1209).
+
+    Identifier rules match Spark's JDBC writer: COLUMN names are created
+    quoted with the DataFrame's exact case ("c" on ANSI/PG, `c` on MySQL),
+    TABLE names pass through unquoted (the database applies its own case
+    folding). Statement lists with >1 entry must run inside one
+    transaction (jdbc_staged_upsert does)."""
+    if dialect not in ("ansi", "postgres", "mysql"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    quote = "`" if dialect == "mysql" else '"'
+
+    def q(ident: str) -> str:
+        return quote + ident + quote
+
+    non_key = [c for c in data_cols if c.lower() != key.lower()]
+    insert_cols = ", ".join(q(c) for c in data_cols)
+
+    if dialect == "ansi":
+        set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_key)
+        insert_vals = ", ".join(f"s.{q(c)}" for c in data_cols)
+        arms = []
+        # Spark's JDBC writer maps StringType to the dialect's unbounded
+        # text type (CLOB on Derby), which some databases refuse to compare
+        # with a char literal -- cast the op column for the comparison
+        op_ref = f"CAST(s.{q(op_col)} AS VARCHAR(8))" if op_col is not None else None
+        if op_col is not None:
+            arms.append(f"WHEN MATCHED AND {op_ref} = 'D' THEN DELETE")
+        if set_clause:
+            arms.append(f"WHEN MATCHED THEN UPDATE SET {set_clause}")
+        not_matched_guard = f" AND {op_ref} <> 'D'" if op_col is not None else ""
+        arms.append(
+            f"WHEN NOT MATCHED{not_matched_guard} THEN INSERT ({insert_cols}) "
+            f"VALUES ({insert_vals})"
+        )
+        return [
+            f"MERGE INTO {table} t USING {staging} s "
+            f"ON t.{q(key)} = s.{q(key)} " + " ".join(arms)
+        ]
+
+    stmts: list[str] = []
+    if dialect == "postgres":
+        if op_col is not None:
+            stmts.append(
+                f"DELETE FROM {table} t USING {staging} s "
+                f"WHERE t.{q(key)} = s.{q(key)} AND s.{q(op_col)} = 'D'"
+            )
+        set_clause = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_key)
+        do_arm = f"DO UPDATE SET {set_clause}" if set_clause else "DO NOTHING"
+        where = f" WHERE s.{q(op_col)} <> 'D'" if op_col is not None else ""
+        stmts.append(
+            f"INSERT INTO {table} ({insert_cols}) "
+            f"SELECT {insert_cols} FROM {staging} s{where} "
+            f"ON CONFLICT ({q(key)}) {do_arm}"
+        )
+        return stmts
+
+    # mysql: multi-table DELETE join, then the derived-table alias form of
+    # ON DUPLICATE KEY UPDATE (`AS new`, the non-deprecated 8.0.19+ spelling
+    # of VALUES(col))
+    if op_col is not None:
+        stmts.append(
+            f"DELETE t FROM {table} t JOIN {staging} s "
+            f"ON t.{q(key)} = s.{q(key)} WHERE s.{q(op_col)} = 'D'"
+        )
+    where = f" WHERE s.{q(op_col)} <> 'D'" if op_col is not None else ""
+    select_cols = ", ".join(f"s.{q(c)}" for c in data_cols)
+    if non_key:
+        set_clause = ", ".join(f"{q(c)} = new.{q(c)}" for c in non_key)
+    else:
+        # pure-key table: a matched row has nothing to update; the no-op
+        # key=key assignment keeps the statement valid
+        set_clause = f"{q(key)} = new.{q(key)}"
+    stmts.append(
+        f"INSERT INTO {table} ({insert_cols}) "
+        f"SELECT * FROM (SELECT {select_cols} FROM {staging} s{where}) AS new "
+        f"ON DUPLICATE KEY UPDATE {set_clause}"
+    )
+    return stmts
+
+
 def jdbc_staged_upsert(
     spark: SparkSession,
     url: str,
@@ -56,31 +163,44 @@ def jdbc_staged_upsert(
     staging: str | None = None,
     properties: dict[str, str] | None = None,
     batch_size: int = 10_000,
+    dialect: str | None = None,
 ) -> int:
-    """Staging-table + MERGE transaction sink -- the reference's upsert
-    write path (crates/engine-processing/src/io/sink/postgres.rs:130-198;
-    MERGE SQL shape crates/connectors/src/sql/query/generator.rs:187-229):
+    """Staging-table + dialect-branched upsert transaction sink -- the
+    reference's upsert write path
+    (crates/engine-processing/src/io/sink/postgres.rs:130-198; capability
+    branch postgres.rs:92-99; SQL shapes
+    crates/connectors/src/sql/query/generator.rs:187-267):
 
       1. the batch bulk-loads into a STAGING table via spark.write.jdbc
          (executor-parallel -- the COPY fast-path analog),
-      2. ONE driver-side MERGE INTO applies it to the target: op 'D'
-         deletes, matched rows update, unmatched non-deletes insert
-         (op_col=None treats every row as upsert),
+      2. the dialect's upsert statements apply it to the target in ONE
+         driver-side transaction: op 'D' deletes, matched rows update,
+         unmatched non-deletes insert (op_col=None treats every row as
+         upsert). ANSI dialects get a single MERGE INTO; PostgreSQL gets
+         DELETE + INSERT .. ON CONFLICT (PG<15 has no MERGE); MySQL gets
+         DELETE + INSERT .. ON DUPLICATE KEY UPDATE (no MERGE at all).
       3. the staging table drops.
 
-    The MERGE statement is atomic on the database side, so a crash
+    The transaction commits atomically on the database side, so a crash
     between stages leaves only an orphan staging table, never a
     half-applied batch -- the same failure contract as the reference's
-    staged transaction. The batch must carry at most one row per key
-    (LWW-dedup upstream). Returns the number of batch rows shipped.
+    staged transaction. The staging name carries a unique suffix so
+    concurrent upserts into the same target cannot clobber each other's
+    staged rows. The batch must carry at most one row per key (LWW-dedup
+    upstream). Returns the number of staged rows (counted on the staging
+    table inside the same connection -- no second Spark action over the
+    batch).
 
-    Tested in-suite against embedded Apache Derby; MySQL/PG differ only
-    in URL + driver (their MERGE/ON CONFLICT spellings are dialect
-    variations of the same statement)."""
-    staging = staging or f"{table}_stg"
+    Tested in-suite against embedded Apache Derby (ansi branch); the
+    postgres/mysql statement text is golden-string-tested
+    (tests/test_sources_retry.py) in the reference's own style
+    (generator.rs:701-1209)."""
+    import uuid as _uuid
+
+    staging = staging or f"{table}_stg_{_uuid.uuid4().hex[:8]}"
+    dialect = dialect or detect_dialect(url)
     props = dict(properties or {})
     data_cols = [c for c in df.columns if c != op_col]
-    n = df.count()
 
     writer = (
         df.write.format("jdbc")
@@ -93,37 +213,7 @@ def jdbc_staged_upsert(
         writer = writer.option(k, v)
     writer.save()
 
-    # identifier rules match Spark's JDBC writer: COLUMN names are created
-    # quoted with the DataFrame's exact case, TABLE names pass through
-    # unquoted (the database applies its own case folding) -- so the
-    # caller names tables exactly as the database resolves them, and the
-    # target's columns must match the DataFrame's names case-exactly
-    def q(ident: str) -> str:
-        return '"' + ident + '"'
-
-    set_clause = ", ".join(
-        f"{q(c)} = s.{q(c)}" for c in data_cols if c.lower() != key.lower()
-    )
-    insert_cols = ", ".join(q(c) for c in data_cols)
-    insert_vals = ", ".join(f"s.{q(c)}" for c in data_cols)
-    arms = []
-    # Spark's JDBC writer maps StringType to the dialect's unbounded text
-    # type (CLOB on Derby), which some databases refuse to compare with a
-    # char literal -- cast the op column for the comparison
-    op_ref = f"CAST(s.{q(op_col)} AS VARCHAR(8))" if op_col is not None else None
-    if op_col is not None:
-        arms.append(f"WHEN MATCHED AND {op_ref} = 'D' THEN DELETE")
-    if set_clause:
-        arms.append(f"WHEN MATCHED THEN UPDATE SET {set_clause}")
-    not_matched_guard = f" AND {op_ref} <> 'D'" if op_col is not None else ""
-    arms.append(
-        f"WHEN NOT MATCHED{not_matched_guard} THEN INSERT ({insert_cols}) "
-        f"VALUES ({insert_vals})"
-    )
-    merge_sql = (
-        f"MERGE INTO {table} t USING {staging} s "
-        f"ON t.{q(key)} = s.{q(key)} " + " ".join(arms)
-    )
+    stmts = upsert_statements(dialect, table, staging, data_cols, key, op_col)
 
     jvm = spark._jvm
     conn_props = jvm.java.util.Properties()
@@ -133,8 +223,21 @@ def jdbc_staged_upsert(
     conn = jvm.java.sql.DriverManager.getConnection(url, conn_props)
     try:
         st = conn.createStatement()
-        st.executeUpdate(merge_sql)
-        st.executeUpdate(f"DROP TABLE {staging}")
+        rs = st.executeQuery(f"SELECT COUNT(*) FROM {staging}")
+        rs.next()
+        n = int(rs.getLong(1))
+        rs.close()
+        if len(stmts) > 1:
+            conn.setAutoCommit(False)
+        for s in stmts:
+            st.executeUpdate(s)
+        if len(stmts) > 1:
+            conn.commit()
+            conn.setAutoCommit(True)
+        try:
+            st.executeUpdate(f"DROP TABLE {staging}")
+        except Exception:
+            pass  # orphan staging table: harmless, uniquely named
     finally:
         conn.close()
     return n

@@ -123,6 +123,56 @@ def test_epoch_replay_is_noop(spark, binlog_dir, tmp_path):
     assert collect_state(ap) == before
 
 
+def _oracle_dlq_lsns(binlog_dir, epochs: range) -> list[int]:
+    st = replay_binlog(binlog_dir)
+    lo, hi = epochs.start * EPOCH + 1, epochs.stop * EPOCH
+    return sorted(l for l in st.dlq_lsns if lo <= l <= hi)
+
+
+def test_dlq_exactly_once_crash_after_dlq_before_merge(spark, binlog_dir, tmp_path):
+    """Crash window A: the DLQ append committed but the merge did not. The
+    replayed epoch's (bookmarked) DLQ append must be a no-op -- the DLQ lsn
+    set stays exact, no duplicates."""
+    wh = str(tmp_path / "whA")
+    ap1 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[])
+    feed = spark.read.parquet(binlog_dir)
+    sl0 = feed.where(F.col("lsn") <= EPOCH)
+    # run prepare only: the DLQ future commits, then "crash" before the merge
+    prep = ap1._prepare_epoch(sl0, 0)
+    prep["dlq_future"].result()
+    prep["pool"].shutdown(wait=True)
+    prep["events"].unpersist()
+    assert ap1.tokens.committed_epoch("t") == -1  # main commit never happened
+    assert ap1.dlq.committed_epoch("t") == 0  # DLQ commit survived the crash
+
+    # restart: the full backfill replays epoch 0 end-to-end
+    ap2 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[])
+    ap2.run_backfill(binlog_dir, epoch_size=EPOCH)
+    got = sorted(r["lsn"] for r in ap2.dlq.read().collect())
+    assert got and got == _oracle_dlq_lsns(binlog_dir, range(0, N_EVENTS // EPOCH))
+
+
+def test_dlq_exactly_once_crash_after_merge_before_dlq(spark, binlog_dir, tmp_path):
+    """Crash window B: the merge committed but the DLQ flush was lost. The
+    resumed backfill's catch-up must restore exactly that epoch's DLQ rows."""
+    wh = str(tmp_path / "whB")
+    ap1 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[])
+    # simulate the lost DLQ flush: epoch 0 runs with the DLQ append stubbed out
+    ap1._append_dlq_epoch = lambda events, epoch: 0
+    ap1.run_backfill(binlog_dir, epoch_size=EPOCH, stop_after=1)
+    assert ap1.tokens.committed_epoch("t") == 0
+    assert ap1.dlq.committed_epoch("t") == -1 and ap1.dlq.row_count() == 0
+
+    ap2 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[])
+    ap2.run_backfill(binlog_dir, epoch_size=EPOCH)
+    got = sorted(r["lsn"] for r in ap2.dlq.read().collect())
+    assert got == _oracle_dlq_lsns(binlog_dir, range(0, N_EVENTS // EPOCH))
+    # and a second resume changes nothing (idempotent catch-up)
+    ap3 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[])
+    ap3.run_backfill(binlog_dir, epoch_size=EPOCH)
+    assert sorted(r["lsn"] for r in ap3.dlq.read().collect()) == got
+
+
 def test_pipelined_backfill_matches_serial(spark, binlog_dir, tmp_path):
     """Epoch pipelining (prepare N+1 concurrent with commit N) must be
     invisible in the final state."""

@@ -58,6 +58,37 @@ def test_cli_cdc_lifecycle(spark, tmp_path, capsys):
     assert main(["version"]) == 0
 
 
+def test_cli_pause_resume(spark, tmp_path, capsys):
+    """`pause` drops a marker the backfill honors between epochs; `resume`
+    clears it and continues from the committed bookmark to the exact same
+    final state (verb parity with crates/cli/src/commands/pause.rs /
+    resume.rs; the epoch bookmark is the checkpoint)."""
+    feed = generate_binlog(spark, n_docs=100, n_events=600, seed=3)
+    write_binlog(feed, str(tmp_path / "binlog"), n_chunks=2)
+    wh = str(tmp_path / "whp")
+    args = ["--warehouse", wh, "--events-hint", "600", "--n-buckets", "8"]
+
+    # pause BEFORE starting: the backfill must apply zero epochs
+    assert main(["pause", "--warehouse", wh]) == 0
+    assert main(["backfill", "--binlog", str(tmp_path / "binlog"),
+                 "--epoch-size", "200", *args]) == 0
+    out = capsys.readouterr().out
+    assert "applied 0 epochs" in out
+
+    # resume runs the backfill to completion
+    assert main(["resume", "--binlog", str(tmp_path / "binlog"),
+                 "--epoch-size", "200", *args]) == 0
+    out = capsys.readouterr().out
+    assert "pause marker cleared" in out and "applied 3 epochs" in out
+    assert main(["status", "--json", *args]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["epoch"] == 2
+
+    # resume with no marker and no binlog is a harmless no-op
+    assert main(["resume", *args]) == 0
+    assert "no pause marker" in capsys.readouterr().out
+
+
 def test_cli_plan_and_apply_smql(spark, sf_dir, tmp_path, capsys):
     cfg = tmp_path / "orders.smql"
     cfg.write_text(SMQL.format())

@@ -225,3 +225,48 @@ def test_expire_snapshots_and_compact_maintenance(spark, tmp_path):
     assert n_meta_after == 1 < n_meta_before
     # data survives maintenance byte-for-byte
     assert {r["k"]: r["v"] for r in t.read().collect()} == before
+
+
+def test_executor_side_footer_reads_match_driver_path(spark, tmp_path, monkeypatch):
+    """Past STRATUM_FOOTER_DRIVER_MAX files per commit, manifest row counts
+    come from an executor-side footer job instead of driver opens; the
+    entries must be identical either way."""
+    from stratum_spark.lake import LakeTable
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k bigint, v string")
+    t1 = LakeTable.create(spark, str(tmp_path / "fd"), "k bigint, v string", key="k", n_buckets=8)
+    t1.append(df)
+    monkeypatch.setenv("STRATUM_FOOTER_DRIVER_MAX", "0")  # force executor path
+    t2 = LakeTable.create(spark, str(tmp_path / "fe"), "k bigint, v string", key="k", n_buckets=8)
+    t2.append(df)
+    e1 = sorted((e.buckets, e.rows) for e in t1.snapshot().files)
+    e2 = sorted((e.buckets, e.rows) for e in t2.snapshot().files)
+    assert e1 == e2 and sum(r for _, r in e2) == 200
+
+
+def test_latest_version_recovers_without_hint_after_expiry(spark, tmp_path):
+    """_latest is only an unfsynced HINT: if it is lost/corrupt after
+    expire_snapshots removed the early version files, the forward scan
+    from v0 finds no contiguous successor -- recovery must fall back to
+    scanning _meta for the max retained version instead of raising."""
+    import os
+
+    from stratum_spark.lake import LakeTable
+
+    root = str(tmp_path / "lv")
+    t = LakeTable.create(spark, root, "k bigint, v string", key="k", n_buckets=2)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k bigint, v string"))
+    t.expire_snapshots(keep_last=2)  # v1..v3 gone; v4,v5 retained
+    want = {r["k"]: r["v"] for r in t.read().collect()}
+
+    hint = os.path.join(root, "_meta", "_latest")
+    os.remove(hint)  # crash lost the (unfsynced) pointer
+    t2 = LakeTable.load(spark, root)
+    assert t2.snapshot().version == 5
+    assert {r["k"]: r["v"] for r in t2.read().collect()} == want
+
+    with open(hint, "w") as fh:  # corrupt hint pointing past the log
+        fh.write("999")
+    t3 = LakeTable.load(spark, root)
+    assert t3.snapshot().version == 5

@@ -206,6 +206,53 @@ def test_verify_epoch_receipts_batch_boundary(spark, tmp_path):
     assert len(res3) == len(res2)
 
 
+def test_lww_broadcast_strategy_matches_shuffle(spark, tmp_path):
+    """The two per-epoch LWW implementations (full-row shuffle aggregate
+    vs winner-lsn broadcast semi-join -- cdc/dedup.py) must converge to the
+    identical final state, including under schema evolution and with
+    validation failures in the feed. The broadcast path keeps lsn-tie
+    duplicates (at-least-once re-emissions with identical payloads), so
+    the comparison is state equality, with each run's own batch receipts
+    verifying clean against its own delta files."""
+    binlog = _mk_feed(spark, tmp_path, with_evolution=True)
+    a = CdcApplier(spark, str(tmp_path / "wsh"), job_id="s", n_buckets=8,
+                   n_events_hint=N_EVENTS, write_mode="mor", lww_strategy="shuffle")
+    a.run_backfill(binlog, epoch_size=150)
+    b = CdcApplier(spark, str(tmp_path / "wbc"), job_id="s", n_buckets=8,
+                   n_events_hint=N_EVENTS, write_mode="mor", lww_strategy="broadcast")
+    b.run_backfill(binlog, epoch_size=150)
+    assert _rows(a.state()) == _rows(b.state())
+    assert len(b.epoch_receipts()) >= 5
+    assert all(r["status"] == "ok" for r in b.verify_epoch_receipts())
+    # DLQ side-channel identical as well
+    assert sorted(r["lsn"] for r in a.dlq.read().collect()) == sorted(
+        r["lsn"] for r in b.dlq.read().collect()
+    )
+
+
+def test_verify_epoch_receipts_expiry_without_compaction(spark, tmp_path):
+    """Expiry of early APPEND snapshots without a prior compaction leaves
+    the first retained snapshot carrying the cumulative file set of every
+    expired epoch. The verifier must treat that snapshot as the diff
+    BASELINE (unattributable epochs -> 'no_files_recorded'), not diff it
+    against an empty set -- which would recompute one epoch's digest over
+    all earlier epochs' rows and raise a false tamper alarm."""
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    ap = CdcApplier(spark, str(tmp_path / "wex"), job_id="vx", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    stats = ap.run_backfill(binlog, epoch_size=150)
+    n_epochs = len(stats)
+    assert n_epochs >= 5
+    ap.deltas.expire_snapshots(keep_last=2)  # NO compaction first
+    res = {r["epoch"]: r["status"] for r in ap.verify_epoch_receipts()}
+    assert len(res) == n_epochs
+    assert "mismatch" not in res.values(), res  # no false tamper alarm
+    # the last epoch's diff is still attributable and verifies clean
+    assert res[n_epochs - 1] == "ok", res
+    # everything at/below the truncated baseline is honestly unattributable
+    assert all(s == "no_files_recorded" for e, s in res.items() if e < n_epochs - 1), res
+
+
 def test_mor_defer_dedup_matches_and_is_narrow(spark, tmp_path):
     """epoch_dedup=False appends the epoch's valid rows as-is (narrow
     plan, zero exchanges); the read path and compactor resolve LWW over
@@ -322,9 +369,14 @@ def test_mor_stream_kill_between_append_and_checkpoint(spark, tmp_path):
     want = state_as_records(replay_binlog(binlog), table_schema_ver=0)
     got = _rows(ap2.state())
     assert set(got) == set(want)
-    # the replayed micro-batch appended nothing: every (doc_id, lsn) unique
-    dups = ap2.deltas.read().groupBy("doc_id", "lsn").count().where("count > 1").count()
-    assert dups == 0
+    # the replayed micro-batch appended nothing: the killed-and-resumed
+    # run's delta volume equals a clean one-shot run's (feed lsn-ties make
+    # (doc_id, lsn) uniqueness too strong a proxy under the broadcast LWW)
+    clean = CdcApplier(spark, str(tmp_path / "wclean"), job_id="kc", n_buckets=8,
+                       evolution=[], write_mode="mor")
+    run_stream_until_idle(clean, binlog, str(tmp_path / "ckptclean"),
+                          max_files_per_trigger=1)
+    assert ap2.deltas.row_count() == clean.deltas.row_count()
 
 
 def test_mor_stream_repeated_pause_resume_converges(spark, tmp_path):
@@ -358,8 +410,13 @@ def test_mor_stream_repeated_pause_resume_converges(spark, tmp_path):
     assert set(got) == set(want)
     for k, w in want.items():
         assert got[k]["tokens"] == list(w["tokens"]), k
-    dups = ap.deltas.read().groupBy("doc_id", "lsn").count().where("count > 1").count()
-    assert dups == 0
+    # no event applied twice: the thrice-resumed run's delta volume equals
+    # a clean one-shot run's over the same feed (same per-file batches)
+    clean = CdcApplier(spark, str(tmp_path / "wrclean"), job_id="rr", n_buckets=8,
+                       evolution=[], write_mode="mor")
+    run_stream_until_idle(clean, str(live), str(tmp_path / "ckrclean"),
+                          max_files_per_trigger=1)
+    assert ap.deltas.row_count() == clean.deltas.row_count()
 
 
 def test_mor_streaming_end_to_end(spark, tmp_path):

@@ -167,12 +167,60 @@ def test_jdbc_staged_upsert_merge_transaction(spark):
     while rs.next():
         got[rs.getInt(1)] = rs.getString(2)
     assert got == {1: "a", 2: "B", 4: "D4"}  # updated, deleted 3, inserted 4
-    # staging table dropped after the merge
+    # staging table (unique-suffixed) dropped after the merge
     rs = st.executeQuery(
-        "SELECT count(*) AS n FROM SYS.SYSTABLES WHERE TABLENAME = 'TGT_STG'"
+        "SELECT count(*) AS n FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'TGT_STG%'"
     )
     rs.next()
     assert rs.getInt(1) == 0
+
+
+def test_upsert_statements_golden_sql():
+    """Exact statement text per dialect -- the reference pins generated SQL
+    strings the same way (generator.rs:701-1209). ANSI emits one MERGE;
+    PostgreSQL (no MERGE before 15) gets DELETE + INSERT .. ON CONFLICT;
+    MySQL (no MERGE at all) gets DELETE + INSERT .. ON DUPLICATE KEY UPDATE
+    with the non-deprecated `AS new` alias form (capability branch:
+    io/sink/postgres.rs:92-99)."""
+    from stratum_spark.sources.jdbc import upsert_statements
+
+    cols, key = ["id", "v"], "id"
+    assert upsert_statements("ansi", "tgt", "stg", cols, key, "op") == [
+        'MERGE INTO tgt t USING stg s ON t."id" = s."id" '
+        "WHEN MATCHED AND CAST(s.\"op\" AS VARCHAR(8)) = 'D' THEN DELETE "
+        'WHEN MATCHED THEN UPDATE SET "v" = s."v" '
+        "WHEN NOT MATCHED AND CAST(s.\"op\" AS VARCHAR(8)) <> 'D' "
+        'THEN INSERT ("id", "v") VALUES (s."id", s."v")'
+    ]
+    assert upsert_statements("postgres", "tgt", "stg", cols, key, "op") == [
+        'DELETE FROM tgt t USING stg s WHERE t."id" = s."id" AND s."op" = \'D\'',
+        'INSERT INTO tgt ("id", "v") SELECT "id", "v" FROM stg s '
+        "WHERE s.\"op\" <> 'D' "
+        'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"',
+    ]
+    assert upsert_statements("mysql", "tgt", "stg", cols, key, "op") == [
+        "DELETE t FROM tgt t JOIN stg s ON t.`id` = s.`id` WHERE s.`op` = 'D'",
+        "INSERT INTO tgt (`id`, `v`) "
+        "SELECT * FROM (SELECT s.`id`, s.`v` FROM stg s WHERE s.`op` <> 'D') AS new "
+        "ON DUPLICATE KEY UPDATE `v` = new.`v`",
+    ]
+    # op_col=None: pure upsert, no delete arm / statement
+    assert upsert_statements("postgres", "tgt", "stg", cols, key, None) == [
+        'INSERT INTO tgt ("id", "v") SELECT "id", "v" FROM stg s '
+        'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"',
+    ]
+    assert len(upsert_statements("ansi", "tgt", "stg", cols, key, None)) == 1
+    assert len(upsert_statements("mysql", "tgt", "stg", cols, key, None)) == 1
+
+
+def test_detect_dialect():
+    from stratum_spark.sources.jdbc import detect_dialect
+
+    assert detect_dialect("jdbc:mysql://h/db") == "mysql"
+    assert detect_dialect("jdbc:mariadb://h/db") == "mysql"
+    assert detect_dialect("jdbc:postgresql://h/db") == "postgres"
+    assert detect_dialect("jdbc:derby:memory:x") == "ansi"
+    assert detect_dialect("jdbc:sqlserver://h") == "ansi"
 
 
 def test_migrate_jdbc_source_to_lake_pipeline(spark, tmp_path):
