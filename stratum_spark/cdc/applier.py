@@ -268,7 +268,24 @@ class CdcApplier:
             F.current_timestamp().alias("failed_at"),
         )
 
-    def _append_dlq_epoch(self, events: DataFrame, epoch: int) -> int:
+    def _dlq_frame_narrow(self, narrow: DataFrame, bad_narrow) -> DataFrame:
+        """Same rows/columns as _dlq_frame, built from the narrow epoch
+        cache (doc_id, lsn, op, n_tok, schema_ver, __sz=size(tokens)) --
+        no re-decode of the heavy token column."""
+        return narrow.where(bad_narrow).select(
+            F.col("lsn"),
+            F.col("doc_id"),
+            F.lit("n_tok_mismatch").alias("rule"),
+            F.format_string(
+                "n_tok=%s != size(tokens)=%s", F.col("n_tok"), F.col("__sz")
+            ).alias("message"),
+            F.to_json(F.struct("lsn", "op", "doc_id", "n_tok", "schema_ver")).alias(
+                "payload"
+            ),
+            F.current_timestamp().alias("failed_at"),
+        )
+
+    def _append_dlq_frame(self, frame: DataFrame, epoch: int) -> int:
         """Exactly-once DLQ append: the failed rows commit with a
         (job_id, epoch) bookmark on the DLQ table itself, so a replayed
         epoch's DLQ write is a no-op (no duplicates after a crash between
@@ -280,12 +297,15 @@ class CdcApplier:
         even for epochs with zero failed rows so catch-up never rescans
         clean epochs."""
         return self.dlq.append_epoch(
-            self._dlq_frame(events),
+            frame,
             job_id=self.job_id,
             epoch=epoch,
             epoch_mode=self.epoch_mode,
             clustered=False,
         )
+
+    def _append_dlq_epoch(self, events: DataFrame, epoch: int) -> int:
+        return self._append_dlq_frame(self._dlq_frame(events), epoch)
 
     def _dlq_catchup(self, slice_of, upto_epoch: int) -> None:
         """Replay the DLQ side-channel for epochs the main table committed
@@ -367,21 +387,43 @@ class CdcApplier:
         bad_pred = self._bad_pred()
         # copy-on-write MERGE prunes to touched buckets, so the stats job
         # must scan every column the bucket/validity exprs need; a
-        # merge-on-read APPEND needs no bucket discovery at all, letting
-        # its stats pass read only (lsn, schema_ver) -- parquet column
-        # pruning skips the token arrays, i.e. ~95% of the bytes
+        # merge-on-read APPEND needs no bucket discovery at all.
         need_buckets = self.write_mode != "mor"
         # persist policy: cow epochs are scanned fully three times (stats +
         # buckets, DLQ, merge), so caching the decoded batch wins; mor
-        # epochs read the heavy columns only twice (DLQ + append) while the
-        # pruned stats pass skips them entirely -- re-decoding parquet is
-        # cheaper than building and holding an O(epoch) cache (and with
-        # pipelining, two epochs' caches would coexist).
-        # STRATUM_EPOCH_PERSIST=0/1 overrides.
+        # epochs instead cache a NARROW per-row projection (~40 B/row:
+        # keys, op, schema_ver, and size(tokens) -- the one fact the
+        # validity check needs from the heavy column) built by the stats
+        # job's scan. The DLQ split, the winner-lsn aggregate, and the
+        # lineage stats all ride that cache, so the epoch's heavy token
+        # bytes are decoded exactly TWICE (cache build + the append's
+        # probe scan) instead of once per consumer. Caching the FULL
+        # decoded batch was measured slower than re-decoding parquet
+        # (round 3); the narrow cache keeps that result while removing the
+        # redundant full decodes. STRATUM_EPOCH_PERSIST=0/1 overrides the
+        # cow policy.
         env_persist = os.environ.get("STRATUM_EPOCH_PERSIST")
         do_persist = need_buckets if env_persist is None else env_persist == "1"
         if do_persist:
             events = events.persist()
+        narrow = None
+        bad_narrow = None
+        narrow_cached = False
+        if self.write_mode == "mor":
+            narrow = events.select(
+                "doc_id", "lsn", "op", "n_tok", "schema_ver",
+                F.size("tokens").alias("__sz"),
+            )
+            # STRATUM_NARROW_CACHE=1 opts into persisting this projection.
+            # OFF by default: consumers each re-decode the feed for their
+            # narrow slice, which measured FASTER than paying the columnar
+            # cache build (interleaved A/B, both 1 and 4 cores -- cache
+            # build is itself memory-bandwidth work; BASELINE.md round 4).
+            # On a bandwidth-rich cluster the cache may win -- keep the knob.
+            if os.environ.get("STRATUM_NARROW_CACHE", "0") == "1":
+                narrow = narrow.persist()
+                narrow_cached = True
+            bad_narrow = (F.col("op") != "D") & ~F.col("n_tok").eqNullSafe(F.col("__sz"))
         pool = ThreadPoolExecutor(max_workers=2)
         ok = False
         try:
@@ -406,7 +448,14 @@ class CdcApplier:
                 # partitions x n_buckets ints -- fine at sandbox B=16, a
                 # driver OOM risk at the documented 100 TB sizing (B=65536,
                 # ~10^4 input partitions).
-                stats_src = events if need_buckets else events.select("lsn", "schema_ver")
+                if need_buckets:
+                    stats_src = events
+                elif narrow_cached:
+                    stats_src = narrow
+                else:
+                    # uncached: keep the stats scan pruned to the two
+                    # cheap columns instead of decoding tokens for __sz
+                    stats_src = events.select("lsn", "schema_ver")
                 stats = stats_src.groupBy(F.spark_partition_id().alias("partition_id")).agg(
                     F.min("lsn").alias("lsn_min"),
                     F.max("lsn").alias("lsn_max"),
@@ -443,10 +492,18 @@ class CdcApplier:
                 parts = None
 
             # DLQ write overlaps everything (its own bookmarked exactly-once
-            # commit -- see _append_dlq_epoch for the crash-window analysis)
+            # commit -- see _append_dlq_frame for the crash-window analysis);
+            # on the mor path it reads the narrow cache, not the feed
             dlq_future = None
             if self.validate:
-                dlq_future = pool.submit(self._append_dlq_epoch, events, epoch)
+                if narrow is not None:
+                    dlq_future = pool.submit(
+                        self._append_dlq_frame,
+                        self._dlq_frame_narrow(narrow, bad_narrow),
+                        epoch,
+                    )
+                else:
+                    dlq_future = pool.submit(self._append_dlq_epoch, events, epoch)
 
             good = events.where(~bad_pred) if self.validate else events
 
@@ -474,9 +531,13 @@ class CdcApplier:
             if not self.epoch_dedup:
                 deduped = mapped
             elif self.write_mode == "mor" and self.lww_strategy == "broadcast":
-                from stratum_spark.cdc.dedup import lww_dedup_broadcast
-
-                deduped = lww_dedup_broadcast(mapped, key="doc_id", order_col="lsn")
+                # winner-lsn broadcast semi-join (cdc/dedup.py scale
+                # policy), with the winner aggregate reading the NARROW
+                # cache -- the append action's only heavy-column decode is
+                # the probe scan itself
+                valid_n = narrow.where(~bad_narrow) if self.validate else narrow
+                winners = valid_n.groupBy("doc_id").agg(F.max("lsn").alias("lsn"))
+                deduped = mapped.join(F.broadcast(winners), ["doc_id", "lsn"], "left_semi")
             else:
                 deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
             receipt_obs = None
@@ -504,6 +565,7 @@ class CdcApplier:
                 "epoch": epoch,
                 "t0": t0,
                 "events": events,
+                "narrow": narrow,
                 "deduped": deduped,
                 "receipt_obs": receipt_obs,
                 "dlq_future": dlq_future,
@@ -515,15 +577,20 @@ class CdcApplier:
             if not ok:
                 pool.shutdown(wait=True)
                 events.unpersist()
+                if narrow is not None:
+                    narrow.unpersist()
 
     def _commit_epoch(self, prep: dict) -> EpochStats:
         """Job 2 of the epoch: the MERGE (atomic lake commit with the epoch
         bookmark) plus lineage rows. Must run in epoch order."""
         epoch = prep["epoch"]
+        dbg = os.environ.get("STRATUM_EPOCH_DEBUG") == "1"
+        t_c0 = time.time()
         try:
             parts = prep["parts"]
             if prep["parts_future"] is not None:
                 parts = prep["parts_future"].result()
+            t_parts = time.time()
             # the parts job returns two row kinds: per-partition stats
             # (partition_id set) and the distinct touched-bucket ids
             # (partition_id NULL, b set)
@@ -537,17 +604,25 @@ class CdcApplier:
             lsn_max = max(int(p["lsn_max"]) for p in parts)
             if self.write_mode == "mor":
                 t_merge = time.time()
-                # clustered=False: the LWW aggregate's shuffle is the only
-                # exchange on the delta hot path -- bucket-clustering the
-                # delta files would add a second full-row shuffle for files
-                # that read-merge and compaction always scan in full anyway
-                n_appended = self.deltas.append_epoch(
-                    prep["deduped"],
+                # clustered=False: the LWW dedup's plan is the only
+                # wide/broadcast step on the delta hot path -- bucket-
+                # clustering the delta files would add a full-row shuffle
+                # for files that read-merge and compaction always scan in
+                # full anyway. Deep-pipelined epochs arrive with their
+                # files already written (prep['entries'], overlapped with
+                # the previous commit); only the bookmark commit happens
+                # here, in strict epoch order.
+                entries = prep.get("entries")
+                if entries is None:
+                    entries = self.deltas.write_epoch_files(
+                        prep["deduped"], clustered=False
+                    )
+                n_appended = self.deltas.commit_epoch_files(
+                    entries,
                     job_id=self.job_id,
                     epoch=epoch,
                     lsn_max=lsn_max,
                     epoch_mode=self.epoch_mode,
-                    clustered=False,
                 )
                 mstats = MergeStats(
                     epoch_skipped=False,
@@ -566,7 +641,19 @@ class CdcApplier:
                     touched=touched,
                     epoch_mode=self.epoch_mode,
                 )
+            t_merge = time.time()
             n_dlq = prep["dlq_future"].result() if prep["dlq_future"] is not None else 0
+            if dbg:
+                import sys as _sys
+
+                at = getattr(self.deltas or self.tokens, "last_append_timings", {})
+                print(
+                    f"## epoch={epoch} parts_wait_ms={int((t_parts - t_c0) * 1000)} "
+                    f"merge_ms={int((t_merge - t_parts) * 1000)} "
+                    f"(write_ms={at.get('write_ms')} commit_ms={at.get('commit_ms')}) "
+                    f"dlq_wait_ms={int((time.time() - t_merge) * 1000)}",
+                    file=_sys.stderr,
+                )
             if mstats.epoch_skipped:
                 # replayed epoch: the merge never scanned the batch, so the
                 # receipt observation never fired -- do NOT block on it
@@ -574,6 +661,8 @@ class CdcApplier:
         finally:
             prep["pool"].shutdown(wait=True)
             prep["events"].unpersist()
+            if prep.get("narrow") is not None:
+                prep["narrow"].unpersist()
 
         wall_ms = int((time.time() - prep["t0"]) * 1000)
         batch_id = f"{self.job_id}-{epoch:08d}"
@@ -843,6 +932,20 @@ class CdcApplier:
 
         self._dlq_catchup(slice_of, start_epoch - 1)
 
+        def prep_and_write(ep: int):
+            """Prefetch body: prepare the epoch AND, on the mor path, run
+            its delta-file WRITE (phase 1 of the two-phase append) -- the
+            epoch's whole Spark-side cost overlaps the previous epoch's
+            commit; only the ordered bookmark commit remains on the main
+            thread. Files written here are invisible until committed, so
+            a crash orphans them harmlessly and exactly-once is untouched."""
+            prep = self._prepare_epoch(slice_of(ep), ep)
+            if prep is not None and self.write_mode == "mor":
+                prep["entries"] = self.deltas.write_epoch_files(
+                    prep["deduped"], clustered=False
+                )
+            return prep
+
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             i = 0
             next_prep = None
@@ -853,25 +956,29 @@ class CdcApplier:
                         if prep is not None:  # abandon the prefetched epoch
                             prep["pool"].shutdown(wait=True)
                             prep["events"].unpersist()
+                            if prep.get("narrow") is not None:
+                                prep["narrow"].unpersist()
                     break
                 ep = epochs[i]
                 if next_prep is not None:
                     prep = next_prep.result()
                     next_prep = None
                 else:
-                    prep = self._prepare_epoch(slice_of(ep), ep)
-                # prefetch the NEXT epoch's prepare unless schema evolution
-                # may still change the table (mapping depends on it)
+                    prep = prep_and_write(ep)
+                # prefetch the NEXT epoch's prepare + delta write unless
+                # schema evolution may still change the table (column
+                # mapping and file schema ids depend on it)
                 if i + 1 < len(epochs) and not self.evolution_pending():
                     nxt = epochs[i + 1]
-                    next_prep = prefetcher.submit(self._prepare_epoch, slice_of(nxt), nxt)
+                    next_prep = prefetcher.submit(prep_and_write, nxt)
                 if prep is None:
                     out.append(EpochStats(epoch=ep, skipped=True))
                 else:
                     out.append(self._commit_epoch(prep))
-                # safe between commits even with the next prepare in
+                # safe between commits even with the next prepare+write in
                 # flight: prepare reads only the feed and the epoch
-                # bookmark, which compaction's truncate preserves
+                # bookmark, which compaction's truncate preserves, and
+                # uncommitted delta files are invisible to the compactor
                 self.maybe_compact()
                 i += 1
         self.flush_lineage()

@@ -193,6 +193,7 @@ def _applier(args):
         n_events_hint=args.events_hint,
         write_mode=mode,
         auto_compact_ratio=args.compact_ratio,
+        lww_strategy=getattr(args, "lww_strategy", None),
     )
 
 
@@ -363,6 +364,11 @@ def _add_applier_args(p: argparse.ArgumentParser, default_mode: str = "mor") -> 
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--events-hint", type=int, default=None)
     p.add_argument("--compact-ratio", type=float, default=None)
+    p.add_argument("--lww-strategy", choices=("shuffle", "broadcast"), default=None,
+                   help="per-epoch LWW implementation for merge-on-read: "
+                        "'broadcast' (winner-lsn semi-join; single-node / "
+                        "small clusters) or 'shuffle' (full-row aggregate; "
+                        "the at-scale shape past ~50 executors)")
     p.add_argument("--cores", type=int, default=None)
 
 

@@ -530,6 +530,66 @@ class LakeTable:
         self._append_files_with_retry(entries)
         return sum(e.rows for e in entries)
 
+    def write_epoch_files(
+        self,
+        df: DataFrame,
+        passthrough: tuple[str, ...] = (),
+        clustered: bool = True,
+    ) -> list[FileEntry]:
+        """Phase 1 of the two-phase exactly-once append: write the data
+        files WITHOUT committing them. Files land under a fresh commit dir
+        and are invisible until commit_epoch_files references them, so
+        writes for DIFFERENT epochs may run concurrently/out of order (the
+        deep-pipelined backfill overlaps epoch N+1's write with epoch N's
+        commit); only the snapshot commits must serialize in epoch order.
+        A crash here leaves orphan data dirs no snapshot references --
+        harmless garbage, re-written on replay."""
+        snap = self.snapshot()
+        aligned = self._align(df, snap.schema, passthrough=passthrough)
+        if clustered:
+            if snap.key:
+                aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
+            else:
+                aligned = aligned.withColumn(
+                    _BUCKET,
+                    F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int"),
+                )
+        return self._write_data(aligned, snap, clustered=clustered)
+
+    def commit_epoch_files(
+        self,
+        entries: list[FileEntry],
+        job_id: str,
+        epoch: int,
+        lsn_max: int | None = None,
+        epoch_mode: str | None = None,
+    ) -> int:
+        """Phase 2: atomically reference already-written files and advance
+        the (job_id, epoch) bookmark in ONE snapshot. A replayed epoch
+        (epoch <= committed) commits nothing -- its pre-written files stay
+        orphaned, preserving exactly-once."""
+        snap = self.snapshot()
+        last = snap.committed.get(job_id, {}).get("epoch", -1)
+        if epoch <= last:
+            return 0
+        committed = dict(snap.committed)
+        committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
+        if epoch_mode is not None:
+            committed[job_id]["mode"] = epoch_mode
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=snap.files + entries,
+            committed=committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return sum(e.rows for e in entries)
+
     def append_epoch(
         self,
         df: DataFrame,
@@ -555,33 +615,20 @@ class LakeTable:
         last = snap.committed.get(job_id, {}).get("epoch", -1)
         if epoch <= last:
             return 0
-        aligned = self._align(df, snap.schema, passthrough=passthrough)
-        if clustered:
-            if snap.key:
-                aligned = aligned.withColumn(_BUCKET, self._bucket_expr(snap.key))
-            else:
-                aligned = aligned.withColumn(
-                    _BUCKET,
-                    F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int"),
-                )
-        entries = self._write_data(aligned, snap, clustered=clustered)
-        committed = dict(snap.committed)
-        committed[job_id] = {"epoch": epoch, "lsn_max": lsn_max}
-        if epoch_mode is not None:
-            committed[job_id]["mode"] = epoch_mode
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_id=snap.schema_id,
-            schemas=snap.schemas,
-            key=snap.key,
-            key_field_id=snap.key_field_id,
-            n_buckets=snap.n_buckets,
-            files=snap.files + entries,
-            committed=committed,
-            properties=snap.properties,
+        t_w0 = time.time()
+        entries = self.write_epoch_files(df, passthrough=passthrough, clustered=clustered)
+        t_w1 = time.time()
+        n = self.commit_epoch_files(
+            entries, job_id, epoch, lsn_max=lsn_max, epoch_mode=epoch_mode
         )
-        self._write_snapshot(new)
-        return sum(e.rows for e in entries)
+        # phase timings for the epoch-debug instrument (write action vs
+        # manifest/commit metadata work) -- read by CdcApplier when
+        # STRATUM_EPOCH_DEBUG=1
+        self.last_append_timings = {
+            "write_ms": int((t_w1 - t_w0) * 1000),
+            "commit_ms": int((time.time() - t_w1) * 1000),
+        }
+        return n
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace write-mode: new snapshot referencing only the new files."""

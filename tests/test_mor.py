@@ -206,6 +206,32 @@ def test_verify_epoch_receipts_batch_boundary(spark, tmp_path):
     assert len(res3) == len(res2)
 
 
+def test_mor_deep_pipelined_kill_and_resume(spark, tmp_path):
+    """Deep pipelining writes epoch N+1's delta files while epoch N
+    commits (two-phase append). A kill between runs leaves the prefetched
+    write's files ORPHANED (no snapshot references them); the resumed run
+    must re-apply that epoch exactly once and converge to the oracle with
+    the same committed delta volume as a clean serial run."""
+    binlog = _mk_feed(spark, tmp_path, with_evolution=False)
+    wh = str(tmp_path / "wdp")
+    a = CdcApplier(spark, wh, job_id="dp", n_buckets=8, evolution=[],
+                   write_mode="mor")
+    a.run_backfill(binlog, epoch_size=150, stop_after=2, pipelined=True)
+
+    b = CdcApplier(spark, wh, job_id="dp", n_buckets=8, evolution=[],
+                   write_mode="mor")
+    b.run_backfill(binlog, epoch_size=150, pipelined=True)
+    want = state_as_records(replay_binlog(binlog), table_schema_ver=0)
+    got = _rows(b.state())
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["tokens"] == list(w["tokens"]), k
+    c = CdcApplier(spark, str(tmp_path / "wds"), job_id="dp", n_buckets=8,
+                   evolution=[], write_mode="mor")
+    c.run_backfill(binlog, epoch_size=150)
+    assert b.deltas.row_count() == c.deltas.row_count()
+
+
 def test_lww_broadcast_strategy_matches_shuffle(spark, tmp_path):
     """The two per-epoch LWW implementations (full-row shuffle aggregate
     vs winner-lsn broadcast semi-join -- cdc/dedup.py) must converge to the
