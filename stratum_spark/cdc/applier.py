@@ -86,15 +86,28 @@ class CdcApplier:
         # consumes the deduped batch in a shuffle anyway so the aggregate
         # is already optimal there):
         #   'shuffle'   groupBy + max_by -- one full-row exchange, skew-proof,
-        #               the right shape past ~50 executors (see
-        #               cdc/dedup.py::lww_dedup_broadcast scale policy)
+        #               scales with parallelism (no serial floor)
         #   'broadcast' winner-lsn broadcast semi-join -- the heavy token
-        #               columns never shuffle (narrow plan); right for
-        #               single-node and small-to-mid clusters
-        # default: env STRATUM_LWW_STRATEGY, else 'broadcast' for mor
-        # (this sandbox and the bench are single-node).
+        #               columns never shuffle, but the broadcast relation
+        #               build is a per-epoch SERIAL cost
+        #   'auto'      cost-model pick (default): broadcast at low
+        #               parallelism, where cutting per-event work dominates;
+        #               shuffle once parallelism amortizes the exchange
+        #               below the broadcast build's serial floor. Measured
+        #               cross-over on this host ~8 threads (BASELINE.md
+        #               round 4: broadcast wins 1->4 cores +45%/+88%,
+        #               shuffle wins at 16 cores 431k vs 285k ev/s); on a
+        #               real cluster the analogous bound is broadcast
+        #               traffic |winners| x n_executors vs 2x epoch bytes
+        #               through the exchange (~50 executors at 2M-event
+        #               epochs).
+        # precedence: explicit param > STRATUM_LWW_STRATEGY env > auto.
         if lww_strategy is None:
-            lww_strategy = os.environ.get("STRATUM_LWW_STRATEGY", "broadcast")
+            lww_strategy = os.environ.get("STRATUM_LWW_STRATEGY", "auto")
+        if lww_strategy == "auto":
+            lww_strategy = (
+                "broadcast" if spark.sparkContext.defaultParallelism <= 8 else "shuffle"
+            )
         if lww_strategy not in ("shuffle", "broadcast"):
             raise ValueError(f"unknown lww_strategy {lww_strategy}")
         self.lww_strategy = lww_strategy

@@ -364,11 +364,12 @@ def _add_applier_args(p: argparse.ArgumentParser, default_mode: str = "mor") -> 
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--events-hint", type=int, default=None)
     p.add_argument("--compact-ratio", type=float, default=None)
-    p.add_argument("--lww-strategy", choices=("shuffle", "broadcast"), default=None,
+    p.add_argument("--lww-strategy", choices=("auto", "shuffle", "broadcast"),
+                   default=None,
                    help="per-epoch LWW implementation for merge-on-read: "
-                        "'broadcast' (winner-lsn semi-join; single-node / "
-                        "small clusters) or 'shuffle' (full-row aggregate; "
-                        "the at-scale shape past ~50 executors)")
+                        "'broadcast' (winner-lsn semi-join; low parallelism), "
+                        "'shuffle' (full-row aggregate; scales with "
+                        "parallelism), 'auto' (cost-model pick, default)")
     p.add_argument("--cores", type=int, default=None)
 
 

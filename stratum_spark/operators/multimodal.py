@@ -81,16 +81,13 @@ except ImportError:  # pragma: no cover
     _HAS_PIL = False
 
 
-def _decode_image(payload: bytes) -> list[float]:
-    # availability checked explicitly (not via raising through an
-    # ImportError handler) so a PIL-equipped environment takes the real
-    # kernel path deliberately instead of crashing every batch
-    if _HAS_PIL:  # pragma: no cover - library absent in this container
-        raise NotImplementedError("real image decode not wired yet")
-    # deterministic fake: exact integer byte stats (count, sum, max, min) --
-    # integers stay exact through the float64 feature column (exact to
+def _decode_bytes(payload: bytes) -> list[float]:
+    # deterministic kernel: exact integer byte stats (count, sum, max, min)
+    # -- integers stay exact through the float64 feature column (exact to
     # 2^53, far beyond any payload sum), so downstream derived stats
-    # (e.g. mean = sum/count) are reproducible bit-for-bit across engines
+    # (e.g. mean = sum/count) are reproducible bit-for-bit across engines.
+    # This is the gate/oracle path and the fallback when no codec library
+    # is installed.
     if payload is None or len(payload) == 0:
         return [0.0, 0.0, 0.0, 0.0]
     n = float(len(payload))
@@ -99,14 +96,52 @@ def _decode_image(payload: bytes) -> list[float]:
     return [n, s, mx, mn]
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
+    """REAL image decode (PIL): grayscale pixel stats in the same
+    (count, sum, max, min) feature shape as the byte kernel. Only reached
+    when PIL is installed (kernel='image'/'auto'); exercised by the
+    skip-if-unavailable test in tests/test_operators.py."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    if payload is None or len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    a = np.asarray(Image.open(BytesIO(payload)).convert("L"), dtype=np.float64)
+    return [float(a.size), float(a.sum()), float(a.max()), float(a.min())]
+
+
+def extract_features(
+    media: DataFrame, batch_hint: int = 1024, kernel: str = "bytes"
+) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches out;
-    one pandas call per batch (never per row). The stub kernel is
-    deterministic so the operator is testable end-to-end."""
+    one pandas call per batch (never per row).
+
+    kernel selects the decode:
+      'bytes'  deterministic byte-stat kernel (default -- the engine-
+               agnostic gate path, always available)
+      'image'  REAL PIL decode of image payloads (pixel stats); raises
+               ImportError where PIL is absent. Non-image kinds fall back
+               to the byte kernel.
+      'auto'   'image' when PIL is installed, else 'bytes'."""
+    if kernel == "auto":
+        kernel = "image" if _HAS_PIL else "bytes"
+    if kernel not in ("bytes", "image"):
+        raise ValueError(f"unknown kernel {kernel}")
+    if kernel == "image" and not _HAS_PIL:
+        raise ImportError("kernel='image' requires PIL (pip install pillow)")
+    use_image = kernel == "image"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image(p) for p in pdf["payload"]]
+            if use_image:  # pragma: no cover - PIL absent in this container
+                feats = [
+                    _decode_image_real(p) if k == "image" else _decode_bytes(p)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                feats = [_decode_bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

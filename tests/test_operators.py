@@ -171,3 +171,52 @@ def test_multimodal_plumbing(spark, docs):
     vid = media.where(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vid
     assert frames.where(F.col("frame_idx") % 10 != 0).count() == 0
+
+
+def test_multimodal_image_kernel_guard_without_pil(spark, docs):
+    """Where PIL is absent: kernel='image' refuses loudly, kernel='auto'
+    falls back to the deterministic byte kernel."""
+    import pytest as _pytest
+
+    if multimodal._HAS_PIL:
+        _pytest.skip("PIL installed; covered by the real-kernel test")
+    media = multimodal.synth_media(docs)
+    with _pytest.raises(ImportError):
+        multimodal.extract_features(media, kernel="image")
+    auto = {r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, kernel="auto").collect()}
+    byte = {r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, kernel="bytes").collect()}
+    assert auto == byte
+
+
+def test_multimodal_real_image_decode_with_pil(spark):
+    """REAL decode branch (skip-if-unavailable): tiny in-memory PNGs run
+    through the same mapInPandas operator with kernel='image'; pixel
+    stats (count, sum, max, min over the grayscale image) come back in
+    the byte-kernel's feature shape."""
+    import pytest as _pytest
+
+    if not multimodal._HAS_PIL:
+        _pytest.skip("PIL not installed in this environment")
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png(px):  # 2x2 grayscale png with constant pixel value
+        img = Image.new("L", (2, 2), color=px)
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", bytearray(png(0)), (2, 2, 16000, 1)),
+        (2, "image", bytearray(png(200)), (2, 2, 16000, 1)),
+        (3, "audio", bytearray(b"\x01\x02\x03"), (0, 0, 16000, 1)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"]
+           for r in multimodal.extract_features(media, kernel="image").collect()}
+    assert got[1] == [4.0, 0.0, 0.0, 0.0]          # 4 px, all zero
+    assert got[2] == [4.0, 800.0, 200.0, 200.0]    # 4 px of value 200
+    assert got[3] == [3.0, 6.0, 3.0, 1.0]          # non-image: byte stats
