@@ -27,6 +27,8 @@ arbitrarily -- duplicates carry identical payloads by contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,6 +63,75 @@ def lww_dedup_broadcast(
     (CdcApplier(lww_strategy=...))."""
     winners = df.groupBy(key).agg(F.max(order_col).alias(order_col))
     return df.join(F.broadcast(winners), [key, order_col], "left_semi")
+
+
+# pick_lww_strategy defaults -- all calibratable via env:
+#   WINNER_ROW_BYTES: a broadcast winner row is (key ~14 B string, lsn 8 B)
+#     plus hashed-relation overhead.
+#   EVENT_FIXED_BYTES: per-event bytes besides the token array (doc_id,
+#     lsn, ts, op, source, lang, schema_ver + row overhead).
+#   XOVER bytes/core: how many epoch bytes ONE core pushes through the
+#     shuffle exchange in the time the broadcast relation build's serial
+#     floor takes (~1.3 s on this host x ~100 MB/s per-core effective
+#     exchange throughput on token-heavy rows = 128 MiB). Measured via the
+#     round-4 interleaved A/B: 2 M-event epochs (~0.5 GB) crossed over
+#     between 8 and 16 threads, giving 2*0.5 GB / P* with P* ~ 8.
+WINNER_ROW_BYTES = 30
+EVENT_FIXED_BYTES = 64
+_DEFAULT_XOVER = 128 << 20
+
+
+def pick_lww_strategy(
+    winners: int,
+    epoch_bytes: int,
+    parallelism: int,
+    n_executors: int = 1,
+    xover_bytes_per_core: int | None = None,
+) -> tuple[str, dict]:
+    """Cost-model choice between the broadcast semi-join LWW and the
+    shuffle aggregate, computed from the PREVIOUS epoch's observed stats
+    (CdcApplier feeds winners + epoch_bytes per epoch; round-4 baked the
+    one-host measurement in as a constant -- this makes the decision an
+    evaluated model with its inputs logged, so a misfit is visible).
+
+    Two bounds, both must favor broadcast:
+
+    1. Cluster traffic: broadcast ships the winner relation to EVERY
+       executor (winners x WINNER_ROW_BYTES x n_executors); the shuffle
+       moves the epoch twice (map write + reduce read = 2 x epoch_bytes).
+       With ~0.36 winners/event at 30 B vs 2 x ~256 B/event this favors
+       broadcast up to ~50 executors at 2 M-event epochs -- the cluster
+       analog documented on lww_dedup_broadcast.
+
+    2. Serial floor (dominates single-node): the broadcast relation
+       build+materialize is a SERIAL stage of roughly constant wall,
+       while the shuffle's extra cost divides by parallelism. Broadcast
+       wins iff parallelism <= P* = 2 x epoch_bytes / xover_bytes_per_core.
+
+    Returns (strategy, inputs) where inputs carries every number the
+    decision used -- callers log it per epoch."""
+    xover = xover_bytes_per_core or int(
+        os.environ.get("STRATUM_LWW_XOVER_BYTES_PER_CORE", _DEFAULT_XOVER)
+    )
+    bc_traffic = winners * WINNER_ROW_BYTES * max(1, n_executors)
+    shuffle_traffic = 2 * epoch_bytes
+    p_star = shuffle_traffic / xover
+    if bc_traffic >= shuffle_traffic:
+        strategy = "shuffle"
+    elif parallelism > p_star:
+        strategy = "shuffle"
+    else:
+        strategy = "broadcast"
+    return strategy, {
+        "winners": winners,
+        "epoch_bytes": epoch_bytes,
+        "parallelism": parallelism,
+        "n_executors": n_executors,
+        "bc_traffic_bytes": bc_traffic,
+        "shuffle_traffic_bytes": shuffle_traffic,
+        "p_star": round(p_star, 2),
+        "xover_bytes_per_core": xover,
+    }
 
 
 def lww_dedup_window(df: DataFrame, key: str = "doc_id", order_col: str = "lsn") -> DataFrame:

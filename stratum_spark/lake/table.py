@@ -445,11 +445,22 @@ class LakeTable:
         # bounded by a CONSTANT (small commits -- the epoch hot path, where
         # a Spark job's fixed latency would cost more than the reads); past
         # the threshold the footers are read EXECUTOR-side in one tiny job,
-        # so commits of thousands of files (the 100 TB sizing) never
-        # serialize metadata work on the driver -- the same reason real
-        # table formats have executors emit manifest entries.
+        # so commits of thousands of files never serialize metadata work on
+        # the driver -- the same reason real table formats have executors
+        # emit manifest entries. The executor path requires executors to
+        # see the warehouse at the driver's path: always true on local
+        # masters (same host); on a multi-node cluster it holds exactly
+        # when the warehouse is on a shared mount (NFS/Lustre/FUSE object
+        # store) -- the SAME requirement this lake's data writes already
+        # impose (executors write part files under the warehouse root), so
+        # a deployment that works at all satisfies it; declare it with
+        # STRATUM_SHARED_WAREHOUSE=1, else we stay driver-side rather than
+        # fail on executor-local paths.
         limit = int(os.environ.get("STRATUM_FOOTER_DRIVER_MAX", "64"))
-        if len(todo) <= limit:
+        shared_fs = self.spark.sparkContext.master.startswith("local") or (
+            os.environ.get("STRATUM_SHARED_WAREHOUSE") == "1"
+        )
+        if len(todo) <= limit or not shared_fs:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=16) as ex:

@@ -102,7 +102,11 @@ def upsert_statements(
             arms.append(f"WHEN MATCHED AND {op_ref} = 'D' THEN DELETE")
         if set_clause:
             arms.append(f"WHEN MATCHED THEN UPDATE SET {set_clause}")
-        not_matched_guard = f" AND {op_ref} <> 'D'" if op_col is not None else ""
+        # null-safe: a NULL op means "plain upsert" on every dialect -- the
+        # bare `op <> 'D'` is NULL-false and would silently drop the row
+        not_matched_guard = (
+            f" AND ({op_ref} <> 'D' OR {op_ref} IS NULL)" if op_col is not None else ""
+        )
         arms.append(
             f"WHEN NOT MATCHED{not_matched_guard} THEN INSERT ({insert_cols}) "
             f"VALUES ({insert_vals})"
@@ -121,7 +125,12 @@ def upsert_statements(
             )
         set_clause = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_key)
         do_arm = f"DO UPDATE SET {set_clause}" if set_clause else "DO NOTHING"
-        where = f" WHERE s.{q(op_col)} <> 'D'" if op_col is not None else ""
+        # null-safe (see ansi arm): NULL op rows must still upsert
+        where = (
+            f" WHERE (s.{q(op_col)} <> 'D' OR s.{q(op_col)} IS NULL)"
+            if op_col is not None
+            else ""
+        )
         stmts.append(
             f"INSERT INTO {table} ({insert_cols}) "
             f"SELECT {insert_cols} FROM {staging} s{where} "
@@ -137,7 +146,11 @@ def upsert_statements(
             f"DELETE t FROM {table} t JOIN {staging} s "
             f"ON t.{q(key)} = s.{q(key)} WHERE s.{q(op_col)} = 'D'"
         )
-    where = f" WHERE s.{q(op_col)} <> 'D'" if op_col is not None else ""
+    where = (
+        f" WHERE (s.{q(op_col)} <> 'D' OR s.{q(op_col)} IS NULL)"
+        if op_col is not None
+        else ""
+    )
     select_cols = ", ".join(f"s.{q(c)}" for c in data_cols)
     if non_key:
         set_clause = ", ".join(f"{q(c)} = new.{q(c)}" for c in non_key)
@@ -191,8 +204,22 @@ def jdbc_staged_upsert(
     table inside the same connection -- no second Spark action over the
     batch).
 
+    Dialect requirements the ANSI MERGE path does NOT have: PostgreSQL's
+    `ON CONFLICT (key)` requires a UNIQUE constraint or unique index on
+    `key` in the target table (PG raises "no unique or exclusion
+    constraint matching the ON CONFLICT specification" otherwise), and
+    MySQL's `ON DUPLICATE KEY UPDATE` likewise only fires on a
+    PRIMARY/UNIQUE key violation -- without one every row blind-inserts.
+    Create the target with `key` as PRIMARY KEY (or a unique index) on
+    those dialects. PG >= 15 deployments that prefer MERGE can pass
+    dialect='ansi' explicitly as the escape hatch. A NULL in `op_col`
+    means "plain upsert" uniformly across all three dialects (the guards
+    are null-safe).
+
     Tested in-suite against embedded Apache Derby (ansi branch); the
-    postgres/mysql statement text is golden-string-tested
+    postgres branch additionally EXECUTES against in-memory DuckDB --
+    whose ON CONFLICT grammar and unique-constraint requirement match
+    PG's -- and the mysql statement text is golden-string-tested
     (tests/test_sources_retry.py) in the reference's own style
     (generator.rs:701-1209)."""
     import uuid as _uuid

@@ -51,6 +51,10 @@ def canonical_hash_col(df: DataFrame, cols: list[str] | None = None) -> Column:
         c = F.col(n)
         if dt.startswith(("array", "struct", "map")):
             s = F.to_json(c)
+        elif dt == "binary":
+            # binary -> hex, not a UTF-8 cast (raw bytes are not valid
+            # strings; hex is deterministic and engine-portable)
+            s = F.hex(c)
         elif dt in ("float", "double"):
             # fixed-point canonical form so the same value hashes equally
             # across engines/precisions

@@ -185,23 +185,28 @@ def test_upsert_statements_golden_sql():
     from stratum_spark.sources.jdbc import upsert_statements
 
     cols, key = ["id", "v"], "id"
+    # every non-delete guard is null-safe: NULL op = "plain upsert"; the
+    # bare `op <> 'D'` is NULL-false and silently dropped those rows on
+    # the postgres/mysql branches (the ANSI MERGE fell through to UPDATE)
     assert upsert_statements("ansi", "tgt", "stg", cols, key, "op") == [
         'MERGE INTO tgt t USING stg s ON t."id" = s."id" '
         "WHEN MATCHED AND CAST(s.\"op\" AS VARCHAR(8)) = 'D' THEN DELETE "
         'WHEN MATCHED THEN UPDATE SET "v" = s."v" '
-        "WHEN NOT MATCHED AND CAST(s.\"op\" AS VARCHAR(8)) <> 'D' "
+        "WHEN NOT MATCHED AND (CAST(s.\"op\" AS VARCHAR(8)) <> 'D' "
+        "OR CAST(s.\"op\" AS VARCHAR(8)) IS NULL) "
         'THEN INSERT ("id", "v") VALUES (s."id", s."v")'
     ]
     assert upsert_statements("postgres", "tgt", "stg", cols, key, "op") == [
         'DELETE FROM tgt t USING stg s WHERE t."id" = s."id" AND s."op" = \'D\'',
         'INSERT INTO tgt ("id", "v") SELECT "id", "v" FROM stg s '
-        "WHERE s.\"op\" <> 'D' "
+        "WHERE (s.\"op\" <> 'D' OR s.\"op\" IS NULL) "
         'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"',
     ]
     assert upsert_statements("mysql", "tgt", "stg", cols, key, "op") == [
         "DELETE t FROM tgt t JOIN stg s ON t.`id` = s.`id` WHERE s.`op` = 'D'",
         "INSERT INTO tgt (`id`, `v`) "
-        "SELECT * FROM (SELECT s.`id`, s.`v` FROM stg s WHERE s.`op` <> 'D') AS new "
+        "SELECT * FROM (SELECT s.`id`, s.`v` FROM stg s "
+        "WHERE (s.`op` <> 'D' OR s.`op` IS NULL)) AS new "
         "ON DUPLICATE KEY UPDATE `v` = new.`v`",
     ]
     # op_col=None: pure upsert, no delete arm / statement
@@ -211,6 +216,47 @@ def test_upsert_statements_golden_sql():
     ]
     assert len(upsert_statements("ansi", "tgt", "stg", cols, key, None)) == 1
     assert len(upsert_statements("mysql", "tgt", "stg", cols, key, None)) == 1
+
+
+def test_upsert_postgres_statements_execute_on_duckdb():
+    """The postgres branch EXECUTED, not just golden-string-compared:
+    DuckDB's `INSERT .. ON CONFLICT (key) DO UPDATE SET .. EXCLUDED` and
+    `DELETE .. USING` grammar matches PostgreSQL's, including the
+    unique-constraint requirement on the conflict target -- so a syntax
+    slip or a guard bug in the emitted SQL fails here without a live PG
+    server. Exercises delete / update / insert / NULL-op-upsert arms."""
+    import duckdb
+
+    from stratum_spark.sources.jdbc import upsert_statements
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE tgt ("id" INT PRIMARY KEY, "v" VARCHAR)')
+    con.execute("INSERT INTO tgt VALUES (1,'a'),(2,'b'),(3,'c')")
+    con.execute('CREATE TABLE stg ("id" INT, "v" VARCHAR, "op" VARCHAR)')
+    # update 2, delete 3, insert 4, and a NULL-op row (plain upsert) on 1
+    con.execute(
+        "INSERT INTO stg VALUES (2,'B','U'),(3,NULL,'D'),(4,'D4','I'),(1,'A',NULL)"
+    )
+    for s in upsert_statements("postgres", "tgt", "stg", ["id", "v"], "id", "op"):
+        con.execute(s)
+    got = dict(con.execute('SELECT "id", "v" FROM tgt ORDER BY "id"').fetchall())
+    assert got == {1: "A", 2: "B", 4: "D4"}
+
+    # op_col=None: every row upserts
+    con.execute("DELETE FROM stg")
+    con.execute("INSERT INTO stg VALUES (2,'bb',NULL),(9,'i9',NULL)")
+    for s in upsert_statements("postgres", "tgt", "stg", ["id", "v"], "id", None):
+        con.execute(s)
+    got = dict(con.execute('SELECT "id", "v" FROM tgt ORDER BY "id"').fetchall())
+    assert got == {1: "A", 2: "bb", 4: "D4", 9: "i9"}
+
+    # the documented unique-constraint requirement: without a PK/unique
+    # index on the conflict target, the dialect statement must FAIL (PG
+    # parity) rather than blind-insert
+    con.execute('CREATE TABLE bare ("id" INT, "v" VARCHAR)')
+    stmt = upsert_statements("postgres", "bare", "stg", ["id", "v"], "id", None)[-1]
+    with pytest.raises(Exception):
+        con.execute(stmt)
 
 
 def test_detect_dialect():
