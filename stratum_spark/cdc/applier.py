@@ -84,6 +84,7 @@ class CdcApplier:
         auto_compact_ratio: float | None = None,
         epoch_dedup: bool = True,
         lww_strategy: str | None = None,
+        tokens_packed: bool | None = None,
     ):
         # per-epoch LWW implementation (mor delta path only; cow's MERGE
         # consumes the deduped batch in a shuffle anyway so the aggregate
@@ -195,16 +196,35 @@ class CdcApplier:
                 for s in SCHEMA_EVOLUTION
             ]
 
+        # tokens_packed: store the token payload as ONE packed binary
+        # column (4 B/int) in the base + delta files instead of
+        # array<int>. No epoch-path operator looks inside the payload, so
+        # the hot path moves a single blob per row (parquet byte_array =
+        # length + memcpy; no per-element rep/def levels or array cells)
+        # at the cost of one Arrow round trip at ingest and an unpack at
+        # the user-facing read (functions/pack.py). Resolution: explicit
+        # param > STRATUM_TOKENS_PACKED env > off; an EXISTING table's
+        # physical schema always wins (resume must not flip the format).
+        if tokens_packed is None:
+            tokens_packed = os.environ.get("STRATUM_TOKENS_PACKED", "0") == "1"
         tok_root = os.path.join(self.warehouse, "tokens")
         lin_root = os.path.join(self.warehouse, "lineage")
         dlq_root = os.path.join(self.warehouse, "dlq")
         if LakeTable.exists(tok_root):
             self.tokens = LakeTable.load(spark, tok_root)
+            actual = self.tokens.snapshot().schema.field_by_name("tokens").type
+            tokens_packed = actual == "binary"
         else:
+            ddl = (
+                TOKENS_DDL.replace("tokens array<int>", "tokens binary")
+                if tokens_packed
+                else TOKENS_DDL
+            )
             self.tokens = LakeTable.create(
-                spark, tok_root, TOKENS_DDL, key="doc_id", n_buckets=n_buckets,
+                spark, tok_root, ddl, key="doc_id", n_buckets=n_buckets,
                 properties={"schema_ver": "0"},
             )
+        self.tokens_packed = tokens_packed
         self.lineage = (
             LakeTable.load(spark, lin_root)
             if LakeTable.exists(lin_root)
@@ -224,8 +244,13 @@ class CdcApplier:
             if LakeTable.exists(del_root):
                 self.deltas = LakeTable.load(spark, del_root)
             else:
+                ddl = (
+                    TOKENS_DDL.replace("tokens array<int>", "tokens binary")
+                    if self.tokens_packed
+                    else TOKENS_DDL
+                )
                 self.deltas = LakeTable.create(
-                    spark, del_root, TOKENS_DDL + ", op string",
+                    spark, del_root, ddl + ", op string",
                     key="doc_id", n_buckets=n_buckets,
                 )
         # lineage appends run on a dedicated single worker thread: they are
@@ -602,6 +627,14 @@ class CdcApplier:
             if self._table_schema_ver() >= 1:
                 cols.append(F.when(F.col("schema_ver") >= 1, F.col("lang")).alias("lang"))
             mapped = good.select(*cols)
+            if self.tokens_packed:
+                # one Arrow round trip packs the payload to a binary blob;
+                # everything downstream (LWW join/aggregate, delta write,
+                # compaction, read-merge) moves ONE buffer per row. The
+                # narrow/validation branch above stays on the raw feed.
+                from stratum_spark.functions.pack import pack_tokens
+
+                mapped = pack_tokens(mapped, "tokens")
 
             # LWW dedup: consumed once (by the MERGE), so stays lazy -- the
             # merge pass is what materializes it, and the integrity digest
@@ -1089,6 +1122,10 @@ class CdcApplier:
     def state(self) -> DataFrame:
         """Current user-facing table state (system lsn column dropped).
 
+        tokens_packed tables unpack the payload back to array<int> here --
+        the packed binary form is an internal storage format; the
+        user-facing state always carries the input_hint's token arrays.
+
         cow: the base table IS the state. mor: merge-on-read -- the base
         (implicit op='U') unions the delta files and the SAME LWW rule the
         writer uses resolves each key to its highest-lsn row; 'D' winners
@@ -1096,8 +1133,14 @@ class CdcApplier:
         key. compact_deltas() bounds the delta fraction, exactly like
         Iceberg v2 read-merge + rewrite_data_files."""
         if self.write_mode != "mor":
-            return self.tokens.read().drop("lsn")
-        return self.state_with_lsn().drop("lsn")
+            out = self.tokens.read().drop("lsn")
+        else:
+            out = self.state_with_lsn().drop("lsn")
+        if self.tokens_packed:
+            from stratum_spark.functions.pack import unpack_tokens
+
+            out = unpack_tokens(out, "tokens")
+        return out
 
     def state_with_lsn(self) -> DataFrame:
         """mor note for external delta-table readers: delta files are NOT
