@@ -73,12 +73,17 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 
 _HAS_PIL = False
-try:  # pragma: no cover - library absent in this container
+_HAS_WAVE = False
+try:  # pragma: no cover - PIL absent in this container
     import importlib.util as _ilu
 
     _HAS_PIL = _ilu.find_spec("PIL") is not None
+    # wave is stdlib (always present on CPython); guarded with the same
+    # capability pattern as PIL so an embedded/stripped runtime degrades
+    # to the byte kernel instead of failing
+    _HAS_WAVE = _ilu.find_spec("wave") is not None
 except ImportError:  # pragma: no cover
-    _HAS_PIL = False
+    pass
 
 
 def _decode_bytes(payload: bytes) -> list[float]:
@@ -112,6 +117,38 @@ def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
     return [float(a.size), float(a.sum()), float(a.max()), float(a.min())]
 
 
+def _decode_audio_real(payload: bytes) -> list[float]:
+    """REAL audio decode (stdlib wave + numpy): PCM sample stats in the
+    same (count, sum, max, min) feature shape as the byte kernel. WAV
+    container only -- the pattern mirrors _decode_image_real so a
+    soundfile/librosa decoder slots into the identical signature for
+    compressed codecs. Exercised by tests/test_operators.py::
+    test_multimodal_real_audio_decode_with_wave."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    payload = bytes(payload)
+    # container sniff: non-WAV audio payloads (or mislabeled kinds) fall
+    # back to byte stats instead of crashing the batch -- the same
+    # degrade-to-gate-path contract as the capability guards
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return _decode_bytes(payload)
+    with wave.open(BytesIO(bytes(payload)), "rb") as w:
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sampwidth)
+    if dtype is None:  # 24-bit and exotic widths: fall back to byte stats
+        return _decode_bytes(payload)
+    a = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if a.size == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [float(a.size), float(a.sum()), float(a.max()), float(a.min())]
+
+
 def extract_features(
     media: DataFrame, batch_hint: int = 1024, kernel: str = "bytes"
 ) -> DataFrame:
@@ -124,21 +161,35 @@ def extract_features(
       'image'  REAL PIL decode of image payloads (pixel stats); raises
                ImportError where PIL is absent. Non-image kinds fall back
                to the byte kernel.
-      'auto'   'image' when PIL is installed, else 'bytes'."""
-    if kernel == "auto":
-        kernel = "image" if _HAS_PIL else "bytes"
-    if kernel not in ("bytes", "image"):
+      'audio'  REAL WAV decode of audio payloads (PCM sample stats) via
+               stdlib wave; raises ImportError on runtimes without it.
+               Non-audio kinds -- and audio payloads that are not WAV
+               containers (sniffed by RIFF/WAVE magic) -- fall back to
+               the byte kernel.
+      'auto'   per-kind best available decoder ('image' for image kinds
+               when PIL is installed, 'audio' for audio kinds when wave
+               is available), byte kernel otherwise."""
+    if kernel not in ("bytes", "image", "audio", "auto"):
         raise ValueError(f"unknown kernel {kernel}")
     if kernel == "image" and not _HAS_PIL:
         raise ImportError("kernel='image' requires PIL (pip install pillow)")
-    use_image = kernel == "image"
+    if kernel == "audio" and not _HAS_WAVE:
+        raise ImportError("kernel='audio' requires the stdlib wave module")
+    use_image = kernel == "image" or (kernel == "auto" and _HAS_PIL)
+    use_audio = kernel == "audio" or (kernel == "auto" and _HAS_WAVE)
+
+    def _decode_row(p, k) -> list[float]:
+        if use_image and k == "image":  # pragma: no cover - PIL absent here
+            return _decode_image_real(p)
+        if use_audio and k == "audio":
+            return _decode_audio_real(p)
+        return _decode_bytes(p)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_image:  # pragma: no cover - PIL absent in this container
+            if use_image or use_audio:
                 feats = [
-                    _decode_image_real(p) if k == "image" else _decode_bytes(p)
-                    for p, k in zip(pdf["payload"], pdf["kind"])
+                    _decode_row(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
                 ]
             else:
                 feats = [_decode_bytes(p) for p in pdf["payload"]]

@@ -220,3 +220,46 @@ def test_multimodal_real_image_decode_with_pil(spark):
     assert got[1] == [4.0, 0.0, 0.0, 0.0]          # 4 px, all zero
     assert got[2] == [4.0, 800.0, 200.0, 200.0]    # 4 px of value 200
     assert got[3] == [3.0, 6.0, 3.0, 1.0]          # non-image: byte stats
+
+
+def test_multimodal_real_audio_decode_with_wave(spark):
+    """REAL audio decode branch (skip-if-unavailable, mirroring the PIL
+    test): tiny in-memory 16-bit PCM WAVs run through the same
+    mapInPandas operator with kernel='audio'; sample stats (count, sum,
+    max, min) come back in the byte-kernel's feature shape, and non-WAV
+    payloads degrade to byte stats via the RIFF sniff."""
+    import pytest as _pytest
+
+    if not multimodal._HAS_WAVE:
+        _pytest.skip("stdlib wave module unavailable in this runtime")
+    import struct
+    import wave
+    from io import BytesIO
+
+    def wav(samples):  # mono 16-bit PCM @ 16 kHz
+        buf = BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    rows = [
+        (1, "audio", bytearray(wav([0, 100, -50, 25])), (0, 0, 16000, 1)),
+        (2, "audio", bytearray(wav([-32768, 32767])), (0, 0, 16000, 1)),
+        (3, "audio", bytearray(b"\x01\x02\x03"), (0, 0, 16000, 1)),  # not WAV
+        (4, "image", bytearray(b"\x05\x06"), (2, 1, 16000, 1)),      # not audio
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"]
+           for r in multimodal.extract_features(media, kernel="audio").collect()}
+    assert got[1] == [4.0, 75.0, 100.0, -50.0]
+    assert got[2] == [2.0, -1.0, 32767.0, -32768.0]
+    assert got[3] == [3.0, 6.0, 3.0, 1.0]   # RIFF sniff -> byte stats
+    assert got[4] == [2.0, 11.0, 6.0, 5.0]  # non-audio kind -> byte stats
+
+    # 'auto' decodes audio kinds the same way (wave always available here)
+    auto = {r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, kernel="auto").collect()}
+    assert auto[1] == got[1] and auto[2] == got[2]
