@@ -475,6 +475,30 @@ def _q_cdc_end_to_end(spark, sf):
     )
 
 
+def _q_cdc_end_to_end_packed(spark, sf):
+    """The tokens_packed storage mode under the driver gate: the SAME
+    gate binlog applied with the payload stored as one packed binary
+    column (functions/pack.py zero-copy Arrow kernels) through
+    validate -> DLQ -> LWW -> delta append -> compaction; state() unpacks
+    back to array<int>, so the oracle SQL is IDENTICAL to cdc_end_to_end
+    -- rows+schema+hash equality proves the internal format is invisible
+    at the user-facing read."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.cdc import CdcApplier
+
+    binlog = _cdc_gate_binlog(spark)
+    wh = _tempfile.mkdtemp(prefix="cdc_gate_whp_")
+    ap = CdcApplier(spark, f"{wh}/wh", job_id="gatep", n_buckets=4,
+                    n_events_hint=_CDC_GATE_PARAMS["n_events"],
+                    write_mode="mor", tokens_packed=True)
+    ap.run_backfill(binlog, epoch_size=300)
+    ap.compact_deltas()
+    return ap.state().orderBy("doc_id").select(
+        "doc_id", "n_tok", "corpus", "lang", F.element_at("tokens", 1).alias("tok0")
+    )
+
+
 def _q_fk_auto_join(spark, sf):
     """§2.4 join-graph BFS: the join PATH and ON conditions are derived
     from FK metadata alone (plans/joingraph.py, the reference's
@@ -560,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "ann_topk_ivf": _q_ann_ivf,
         "cdc_end_to_end": _q_cdc_end_to_end,
+        "cdc_end_to_end_packed": _q_cdc_end_to_end_packed,
     }
 
 
@@ -605,7 +630,7 @@ _ANN_TOPK_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "scan_projection": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 1000"
         ),
@@ -851,3 +876,7 @@ def oracle_sql() -> dict[str, str]:
         # md5-derived hash VARIANT (same pipeline, engine-agreeable hash)
         # so the whole simhash path is hash-checked too.
     }
+    # the packed storage mode must be INVISIBLE at the user-facing read:
+    # same logical result, same oracle
+    out["cdc_end_to_end_packed"] = out["cdc_end_to_end"]
+    return out

@@ -149,6 +149,54 @@ def _worker_cdc(cores: int, binlog_dir: str, n_events: int) -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _worker_bare(cores: int, binlog_dir: str, n_events: int) -> None:
+    """Bare-parquet-write exhibit: the engine's hot path stripped to its
+    irreducible I/O -- read the epoch's feed slice, write it back out as
+    parquet (tmpfs), NO engine code (no validate/DLQ/LWW/commit/lineage).
+    Same epoch sizes, same warmup discipline as --worker-cdc. The engine's
+    scaling efficiency is read AGAINST this exhibit's own efficiency: on
+    this host a plain scan+encode+write is itself memory-bandwidth-bound
+    and scales far below 1.0, so 'engine eff / bare eff' is the
+    engine-owned share of the scaling gap (round-4 verdict, done-criterion
+    b for the bar item)."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from stratum_spark.session import get_spark
+
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
+    epoch_size = max(10_000, n_events // n_epochs)
+    spark = get_spark(f"bench_bare_{cores}", cores=cores)
+    feed = spark.read.parquet(binlog_dir)
+    out_base = _tf.mkdtemp(prefix=f"bare_{cores}_", dir=_bench_tmp_base())
+    try:
+        walls, rows = [], []
+        for ep in range(n_epochs):
+            lo, hi = ep * epoch_size + 1, (ep + 1) * epoch_size
+            sl = feed.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+            t0 = time.time()
+            sl.write.mode("overwrite").parquet(os.path.join(out_base, f"ep{ep}"))
+            walls.append(time.time() - t0)
+            rows.append(epoch_size)
+        steady_sec = sum(walls[1:])
+        steady_rows = sum(rows[1:])
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "events": sum(rows),
+                    "events_per_sec_steady": round(steady_rows / steady_sec, 1)
+                    if steady_sec
+                    else 0,
+                    "epoch_wall_sec": [round(w, 3) for w in walls],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out_base, ignore_errors=True)
+
+
 def _worker_scan(cores: int) -> None:
     """Subprocess entry: the COMPUTE-BOUND scaling exhibit -- a canonical-
     hash verification scan (sha256 row hashes + the commutative receipt
@@ -345,12 +393,30 @@ def _floor_exhibit(binlog_dir: str, n_events: int, local_dir: str, cores: int) -
     return out
 
 
+def _run_bare_at(cores: int, binlog_dir: str, n_events: int, local_dir: str) -> dict:
+    env = dict(os.environ)
+    env["STRATUM_SPARK_LOCAL_DIR"] = local_dir
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker-bare", str(cores),
+         binlog_dir, str(n_events)],
+        capture_output=True, text=True, timeout=1800, cwd=REPO, env=env,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bare worker ({cores}) produced no result: {out.stderr[-2000:]}")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker-cdc":
         _worker_cdc(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--worker-scan":
         _worker_scan(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker-bare":
+        _worker_bare(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
         return
 
     import __spark_entry__ as entrymod
@@ -457,9 +523,13 @@ def main() -> None:
         if WRITE_MODE != "cow":
             for c in (SCALE_HI, SCALE_SAT):
                 cow_runs[c] = _run_cdc_at(c, binlog_dir, N_EVENTS, local_dir, mode="cow")
+        bares: dict[int, list[dict]] = {c: [] for c in levels}
         for _ in range(trials):
             for c in levels:
                 scans[c].append(_run_scan_at(c, local_dir))
+            if os.environ.get("BENCH_BARE", "1") == "1":
+                for c in levels:
+                    bares[c].append(_run_bare_at(c, binlog_dir, N_EVENTS, local_dir))
         # the box's own same-run ceiling (pure-CPU multiprocess busy loop)
         ceiling = _busy_loop_ceiling(SCALE_LO, SCALE_HI)
         ceiling_sat = _busy_loop_ceiling(SCALE_HI, SCALE_SAT)
@@ -512,6 +582,27 @@ def main() -> None:
     scan_sat = max(s["rows_per_sec"] for s in scans[SCALE_SAT])
     scan_eff = round(scan_hi / scan_lo / factor, 3)
     scan_eff_sat = round(scan_sat / scan_hi / factor_sat, 3)
+    # bare-parquet-write exhibit: the hot path's irreducible scan+encode+
+    # write with zero engine code, same run -- 'engine eff / bare eff' is
+    # the engine-owned share of the scaling gap
+    bare = None
+    if any(bares.values()):
+        b_lo = max(w["events_per_sec_steady"] for w in bares[SCALE_LO])
+        b_hi = max(w["events_per_sec_steady"] for w in bares[SCALE_HI])
+        b_sat = max(w["events_per_sec_steady"] for w in bares[SCALE_SAT])
+        bare = {
+            "steady_low": b_lo,
+            "steady_high": b_hi,
+            "steady_sat": b_sat,
+            "scaling_efficiency": round(b_hi / b_lo / factor, 3),
+            "scaling_efficiency_next_4x": round(b_sat / b_hi / factor_sat, 3),
+            "engine_vs_bare_eff": round(
+                (hi_steady / lo_steady) / (b_hi / b_lo), 3
+            ) if b_lo and b_hi else None,
+            "engine_vs_bare_eff_next_4x": round(
+                (sat_steady / hi_steady) / (b_sat / b_hi), 3
+            ) if b_hi and b_sat else None,
+        }
 
     total = round(time.time() - t_total0, 3)
     print(
@@ -572,6 +663,7 @@ def main() -> None:
                     # (serial loop at saturation cores; see _floor_exhibit)
                     "floor_exhibit": floor_exhibit,
                     "query_variance": query_variance,
+                    "bare_write": bare,
                     "cow_comparison": {
                         str(c): {"wall_sec": w["wall_sec"],
                                  "steady": w["events_per_sec_steady"],
@@ -611,6 +703,11 @@ def main() -> None:
                     "compute_scan_efficiency_next_4x": scan_eff_sat,
                     "busy_loop_ceiling_efficiency": ceiling["scaling_efficiency"],
                     "busy_loop_ceiling_next_4x": ceiling_sat["scaling_efficiency"],
+                    "bare_write_eff": (bare or {}).get("scaling_efficiency"),
+                    "engine_vs_bare_eff": (bare or {}).get("engine_vs_bare_eff"),
+                    "engine_vs_bare_eff_next_4x": (bare or {}).get(
+                        "engine_vs_bare_eff_next_4x"
+                    ),
                     "floor_fit": (floor_exhibit or {}).get("fit"),
                     "floor_fractions": {
                         str(p["epoch_events"]): p.get("floor_fraction")

@@ -851,19 +851,34 @@ class CdcApplier:
             )
         elif self.integrity and self.epoch_mode == "stream":
             # streaming: Observation is unusable inside foreachBatch (see
-            # _prepare_epoch), so the batch receipt costs one explicit
-            # aggregation job over the (small) micro-batch
-            from stratum_spark.verify.hashing import (
-                canonical_hash_col,
-                commutative_digest_aggs,
-            )
+            # _prepare_epoch). mor epochs get the digest OFF the stream
+            # thread instead: the committed delta files are immutable and
+            # contain exactly the deduped rows, so the lineage worker
+            # recomputes the digest from them (the same recompute
+            # verify_epoch_receipts does) while the stream proceeds to the
+            # next micro-batch -- zero added jobs ON the micro-batch
+            # critical path. cow streams (bucket-rewrite files != batch)
+            # keep the inline aggregation over the micro-batch.
+            if self.write_mode == "mor":
+                paths = [
+                    os.path.join(self.deltas.root, e.path)
+                    for e in (entries or [])
+                ]
+                self._lineage_futures.append(
+                    self._lineage_pool.submit(self._receipt_from_files, epoch, paths)
+                )
+            else:
+                from stratum_spark.verify.hashing import (
+                    canonical_hash_col,
+                    commutative_digest_aggs,
+                )
 
-            row = prep["deduped"].agg(
-                *commutative_digest_aggs(canonical_hash_col(prep["deduped"]))
-            ).first()
-            self._lineage_futures.append(
-                self._lineage_pool.submit(self._write_epoch_receipt, epoch, row)
-            )
+                row = prep["deduped"].agg(
+                    *commutative_digest_aggs(canonical_hash_col(prep["deduped"]))
+                ).first()
+                self._lineage_futures.append(
+                    self._lineage_pool.submit(self._write_epoch_receipt, epoch, row)
+                )
 
         return EpochStats(
             epoch=epoch,
@@ -874,6 +889,29 @@ class CdcApplier:
             merge=mstats,
             wall_ms=wall_ms,
         )
+
+    def _receipt_from_files(self, epoch: int, paths: list[str]) -> None:
+        """Streaming-mode receipt: recompute the commutative digest from
+        the epoch's just-committed delta files (immutable; exactly the
+        deduped rows the write materialized) and persist it. Runs on the
+        lineage worker -- off the micro-batch critical path. An epoch whose
+        valid rows all filtered out has no files and a canonical zero
+        digest."""
+        from stratum_spark.verify.hashing import (
+            canonical_hash_col,
+            commutative_digest_aggs,
+        )
+
+        if paths:
+            df = self.spark.read.parquet(*paths)
+            row = df.agg(*commutative_digest_aggs(canonical_hash_col(df))).first()
+        else:
+            row = {
+                **{f"x{i}": 0 for i in range(4)},
+                **{f"s{i}": 0 for i in range(4)},
+                "n": 0,
+            }
+        self._write_epoch_receipt(epoch, row)
 
     def _write_epoch_receipt(self, epoch: int, digest_row) -> None:
         """Persist the epoch's batch receipt (commutative digest over the
@@ -1189,6 +1227,10 @@ class CdcApplier:
         nothing). Runs from the apply loop -- not concurrent with appends."""
         if self.write_mode != "mor":
             return None
+        # barrier: async receipt jobs (streaming mode) read the epoch's
+        # delta files by direct path -- drain them before the fold/truncate
+        # makes those files eligible for expiry
+        self.flush_lineage()
         target_epoch = self.deltas.committed_epoch(self.job_id)
         if target_epoch < 0:
             return None

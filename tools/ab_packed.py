@@ -53,7 +53,9 @@ def main() -> None:
             for c in cores:
                 for packed in (0, 1):
                     os.environ["STRATUM_TOKENS_PACKED"] = str(packed)
-                    w = _run_cdc_at(c, binlog, n_events, local_dir)
+                    # mode passed EXPLICITLY: bench.WRITE_MODE is captured at
+                    # import time, before this script sets its env
+                    w = _run_cdc_at(c, binlog, n_events, local_dir, mode="mor")
                     key = f"{c}c_{'packed' if packed else 'array'}"
                     cells.setdefault(key, []).append(w)
                     print(
