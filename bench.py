@@ -437,7 +437,15 @@ def main() -> None:
         spark, n_docs=N_DOCS, n_events=N_EVENTS, seed=42, max_tokens=96,
         with_evolution=False,
     )
-    write_binlog(feed, binlog_dir, n_chunks=16)
+    # BENCH_CHUNKS: feed segment count. A 2M-event epoch spans
+    # n_chunks/4 files; on parquet, file count bounds the DECODE
+    # parallelism of every epoch-slice scan (row groups don't split).
+    # 64 chunks measured 430.6k vs 279k ev/s at 16 cores same-window
+    # (BASELINE.md round 5) but is a wash inside box noise at 1/4 cores;
+    # default stays 16 for round-over-round comparability. A real binlog
+    # at 10^10 events ships thousands of segments, so the cluster-scale
+    # scan is never file-bound.
+    write_binlog(feed, binlog_dir, n_chunks=int(os.environ.get("BENCH_CHUNKS", "16")))
 
     # ---- headline query timings on SF_DIR --------------------------------
     qs = entrymod.queries()
