@@ -134,6 +134,38 @@ def pick_lww_strategy(
     }
 
 
+def xover_from_walls(
+    wall_broadcast_sec: float,
+    wall_shuffle_sec: float,
+    epoch_bytes: int,
+    parallelism: int,
+) -> int:
+    """xover_bytes_per_core implied by OBSERVED epoch walls under the two
+    LWW strategies at the same parallelism and epoch shape -- the online
+    calibration the round-5 verdict asked for (item 3), done at the level
+    the strategy choice actually lives at.
+
+    Component-level micro-probes (time a synthetic broadcast build, time a
+    synthetic shuffle) were tried first and MEASURED WRONG on this class
+    of host: a probe small enough to be cheap sits in the fixed-cost
+    regime where the exchange wall doesn't divide by parallelism, and the
+    per-core rate it implies flipped the 16-core decision against the
+    round-4 full-epoch A/B (which is ground truth). Full-epoch walls under
+    each strategy are the only signal that already contains every real
+    effect (decode, memory-bandwidth sharing, steal) at the real size.
+
+    Derivation: the model says broadcast wins iff P <= P* and the walls
+    cross exactly at P*, so an observed pair at parallelism P pins
+    P* = P x wall_shuffle / wall_broadcast (slower shuffle pushes the
+    cross-over up). xover = 2 x epoch_bytes / P*, clamped to a sane band
+    so one steal-poisoned sample cannot wedge every future decision."""
+    p_star = max(
+        parallelism * wall_shuffle_sec / max(wall_broadcast_sec, 1e-3), 0.25
+    )
+    xover = 2 * epoch_bytes / p_star
+    return int(min(max(xover, 8 << 20), 4 << 30))
+
+
 def lww_dedup_window(df: DataFrame, key: str = "doc_id", order_col: str = "lsn") -> DataFrame:
     """row_number()==1 over (partition by key order by lsn desc) -- parity
     formulation; prefer lww_dedup on skewed feeds."""

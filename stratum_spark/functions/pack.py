@@ -52,7 +52,16 @@ def pack_array(col: pa.Array) -> pa.Array:
         raise TypeError(f"pack_array expects list<int32>, got {col.type}")
     offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1)
     child = col.values
-    byte_offs = ((offs + child.offset) * 4).astype(np.int32)
+    # compute in int64 first: a values buffer past 512 MiB would silently
+    # wrap int32 byte offsets and corrupt the packed column (unreachable at
+    # Spark's default Arrow batch sizes, but guarded rather than assumed)
+    byte_offs64 = (offs.astype(np.int64) + child.offset) * 4
+    if byte_offs64[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"token values buffer too large to pack ({int(byte_offs64[-1])} B "
+            "of byte offsets exceeds int32) -- reduce the Arrow batch size"
+        )
+    byte_offs = byte_offs64.astype(np.int32)
     # a batch whose rows are all null/empty has no child values buffer
     data = child.buffers()[1] or pa.py_buffer(b"")
     return pa.Array.from_buffers(
@@ -69,7 +78,11 @@ def unpack_array(col: pa.Array) -> pa.Array:
     if not pa.types.is_binary(col.type):
         raise TypeError(f"unpack_array expects binary, got {col.type}")
     boffs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1)
-    if int(boffs[0]) % 4 or int(boffs[-1]) % 4:
+    # validate EVERY value boundary, not just the ends: interior misaligned
+    # boundaries (e.g. lengths 2+2, ends still aligned) would otherwise pass
+    # and silently yield corrupted token arrays after offsets//4. The numpy
+    # check is vectorized -- one pass over the (tiny) offsets buffer.
+    if np.any(boffs % 4):
         raise ValueError("binary column is not 4-byte token-packed")
     offs = (boffs // 4).astype(np.int32)
     data = col.buffers()[2]

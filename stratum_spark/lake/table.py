@@ -74,21 +74,35 @@ class FileEntry:
     buckets: tuple[int, ...]
     schema_id: int
     rows: int
+    # optional per-file column bounds, read from the parquet footer at
+    # write time (Iceberg manifest column_bounds analog): col -> (min, max).
+    # Populated when the writer asks for stats_cols -- the CDC delta path
+    # records lsn bounds so per-file lineage (offset ranges) comes from
+    # metadata the manifest pass ALREADY reads, with zero extra Spark jobs.
+    stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "buckets": list(self.buckets),
             "schema_id": self.schema_id,
             "rows": self.rows,
         }
+        if self.stats:
+            d["stats"] = {c: list(v) for c, v in self.stats.items()}
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         buckets = d.get("buckets")
         if buckets is None and "bucket" in d:  # legacy single-bucket entries
             buckets = [d["bucket"]]
-        return FileEntry(d["path"], tuple(buckets), d["schema_id"], d["rows"])
+        stats = d.get("stats")
+        if stats is not None:
+            stats = {c: tuple(v) for c, v in stats.items()}
+        return FileEntry(
+            d["path"], tuple(buckets), d["schema_id"], d["rows"], stats=stats
+        )
 
 
 @dataclass(frozen=True)
@@ -152,6 +166,33 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_footer(path: str, stats_cols: tuple[str, ...]) -> tuple[int, dict]:
+    """(num_rows, {col: (min, max)}) from the parquet footer -- the same
+    single metadata read the manifest row counts need; column bounds are
+    folded over the row-group statistics parquet writers emit anyway."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    bounds: dict[str, tuple] = {}
+    if stats_cols and md.num_rows:
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in stats_cols:
+            ci = idx.get(col)
+            if ci is None:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if mn is not None:
+                bounds[col] = (mn, mx)
+    return md.num_rows, bounds
 
 
 class LakeTable:
@@ -409,7 +450,13 @@ class LakeTable:
             cache[key] = {p: tuple(sorted(bs)) for p, bs in m.items()}
         return cache[key]
 
-    def _write_data(self, df: DataFrame, snap: Snapshot, clustered: bool = True) -> list[FileEntry]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        clustered: bool = True,
+        stats_cols: tuple[str, ...] = (),
+    ) -> list[FileEntry]:
         """Write df as FLAT parquet under a fresh commit dir.
 
         clustered=True (default): df carries _bucket and is repartitioned
@@ -464,24 +511,26 @@ class LakeTable:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=16) as ex:
-                rows = list(ex.map(lambda t: _parquet_rows(t[2]), todo))
+                footers = list(ex.map(lambda t: _parquet_footer(t[2], stats_cols), todo))
         else:
             paths = [t[2] for t in todo]
             k = max(1, min(len(paths) // 16 + 1, 64))
+            cols = stats_cols
             by_path = dict(
                 self.spark.sparkContext.parallelize(paths, k)
-                .map(lambda p: (p, _parquet_rows(p)))
+                .map(lambda p: (p, _parquet_footer(p, cols)))
                 .collect()
             )
-            rows = [by_path[p] for p in paths]
+            footers = [by_path[p] for p in paths]
         return [
             FileEntry(
                 path=rel,
                 buckets=p2b.get(split, ()) if clustered else all_buckets,
                 schema_id=snap.schema_id,
                 rows=r,
+                stats=bounds or None,
             )
-            for (rel, split, _), r in zip(todo, rows)
+            for (rel, split, _), (r, bounds) in zip(todo, footers)
             if r > 0
         ]
 
@@ -546,6 +595,7 @@ class LakeTable:
         df: DataFrame,
         passthrough: tuple[str, ...] = (),
         clustered: bool = True,
+        stats_cols: tuple[str, ...] = (),
     ) -> list[FileEntry]:
         """Phase 1 of the two-phase exactly-once append: write the data
         files WITHOUT committing them. Files land under a fresh commit dir
@@ -565,7 +615,7 @@ class LakeTable:
                     _BUCKET,
                     F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int"),
                 )
-        return self._write_data(aligned, snap, clustered=clustered)
+        return self._write_data(aligned, snap, clustered=clustered, stats_cols=stats_cols)
 
     def commit_epoch_files(
         self,

@@ -74,6 +74,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 _HAS_PIL = False
 _HAS_WAVE = False
+_HAS_AV = False
 try:  # pragma: no cover - PIL absent in this container
     import importlib.util as _ilu
 
@@ -82,6 +83,9 @@ try:  # pragma: no cover - PIL absent in this container
     # capability pattern as PIL so an embedded/stripped runtime degrades
     # to the byte kernel instead of failing
     _HAS_WAVE = _ilu.find_spec("wave") is not None
+    # PyAV (ffmpeg bindings) upgrades the video kernel from the container-
+    # sniffed frame-sample hybrid to true keyframe pixel stats
+    _HAS_AV = _ilu.find_spec("av") is not None
 except ImportError:  # pragma: no cover
     pass
 
@@ -149,6 +153,78 @@ def _decode_audio_real(payload: bytes) -> list[float]:
     return [float(a.size), float(a.sum()), float(a.max()), float(a.min())]
 
 
+def _sniff_video_container(payload: bytes) -> str | None:
+    """Container magic: MP4/MOV (ftyp box at offset 4), Matroska/WebM
+    (EBML header), AVI (RIFF..AVI ). None = not a recognized container."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return "mkv"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    return None
+
+
+def _decode_video_real(payload: bytes, n_samples: int = 16,
+                       window: int = 256) -> list[float]:
+    """Video kernel (round-5 verdict item 7), same (count, sum, max, min)
+    feature shape as the image/audio kernels:
+
+    * PyAV installed (guarded like PIL): decode up to n_samples KEYFRAMES
+      and return grayscale pixel stats -- the real decoder slot.
+    * Otherwise (this container): container-sniffed frame-sample HYBRID --
+      for recognized video containers, sample n_samples evenly-spaced
+      byte windows (the positions a keyframe sampler would seek to) and
+      return exact integer byte stats over the sampled windows; payloads
+      that are not a recognized container degrade to whole-payload byte
+      stats, the same degrade-to-gate-path contract as the audio sniff.
+
+    Deterministic for fixed (payload, n_samples, window) -- the sampled
+    positions are a pure function of the length."""
+    if payload is None or len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    payload = bytes(payload)
+    if _HAS_AV and _sniff_video_container(payload):  # pragma: no cover
+        return _decode_video_av(payload, n_samples)
+    if _sniff_video_container(payload) is None:
+        return _decode_bytes(payload)
+    n = len(payload)
+    step = max(n // n_samples, 1)
+    chunks = [payload[off: off + min(window, step)]
+              for off in range(0, n, step)][:n_samples]
+    sampled = b"".join(chunks)
+    return _decode_bytes(sampled)
+
+
+def _decode_video_av(payload: bytes, n_samples: int) -> list[float]:  # pragma: no cover
+    """REAL video decode (PyAV): grayscale pixel stats over up to
+    n_samples keyframes -- only reached when av is installed; exercised by
+    the skip-if-unavailable test in tests/test_operators.py."""
+    from io import BytesIO
+
+    import av
+    import numpy as np
+
+    stats = np.zeros(4)
+    stats[3] = 255.0
+    count = 0
+    with av.open(BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        stream.codec_context.skip_frame = "NONKEY"
+        for frame in container.decode(stream):
+            a = frame.to_ndarray(format="gray").astype(np.float64)
+            stats[0] += a.size
+            stats[1] += a.sum()
+            stats[2] = max(stats[2], float(a.max()))
+            stats[3] = min(stats[3], float(a.min()))
+            count += 1
+            if count >= n_samples:
+                break
+    if count == 0:
+        return _decode_bytes(payload)
+    return [float(stats[0]), float(stats[1]), float(stats[2]), float(stats[3])]
+
+
 def extract_features(
     media: DataFrame, batch_hint: int = 1024, kernel: str = "bytes"
 ) -> DataFrame:
@@ -166,10 +242,17 @@ def extract_features(
                Non-audio kinds -- and audio payloads that are not WAV
                containers (sniffed by RIFF/WAVE magic) -- fall back to
                the byte kernel.
+      'video'  container-sniffed frame-sample hybrid over video payloads
+               (keyframe pixel stats when PyAV is installed -- the same
+               guarded upgrade as 'image'); recognized containers
+               (MP4/MKV/AVI) get evenly-spaced frame-window byte stats,
+               anything else degrades to the byte kernel. Always
+               available -- the sampling path is dependency-free.
       'auto'   per-kind best available decoder ('image' for image kinds
                when PIL is installed, 'audio' for audio kinds when wave
-               is available), byte kernel otherwise."""
-    if kernel not in ("bytes", "image", "audio", "auto"):
+               is available, 'video' for video kinds), byte kernel
+               otherwise."""
+    if kernel not in ("bytes", "image", "audio", "video", "auto"):
         raise ValueError(f"unknown kernel {kernel}")
     if kernel == "image" and not _HAS_PIL:
         raise ImportError("kernel='image' requires PIL (pip install pillow)")
@@ -177,17 +260,20 @@ def extract_features(
         raise ImportError("kernel='audio' requires the stdlib wave module")
     use_image = kernel == "image" or (kernel == "auto" and _HAS_PIL)
     use_audio = kernel == "audio" or (kernel == "auto" and _HAS_WAVE)
+    use_video = kernel in ("video", "auto")
 
     def _decode_row(p, k) -> list[float]:
         if use_image and k == "image":  # pragma: no cover - PIL absent here
             return _decode_image_real(p)
         if use_audio and k == "audio":
             return _decode_audio_real(p)
+        if use_video and k == "video":
+            return _decode_video_real(p)
         return _decode_bytes(p)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_image or use_audio:
+            if use_image or use_audio or use_video:
                 feats = [
                     _decode_row(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
                 ]
