@@ -1,18 +1,27 @@
-"""Benchmark harness. Prints the FULL result JSON line, then a COMPACT
-(<1.5 KB) summary JSON line LAST -- the driver tail-captures output, so the
-final line alone must carry {"metric", "value", "queries", "sf", "cdc"
-scaling evidence}.
+"""Benchmark harness. Emits the COMPACT summary JSON line INCREMENTALLY:
+once as soon as the graded core (queries + scaling chain + bare exhibit)
+is measured, and again (updated) at the very end after the optional
+exhibits -- the driver tail-captures output and parses the LAST JSON line,
+so a timeout mid-exhibit still leaves a complete parsed core (round-5
+shipped rc=124/parsed=null because the old all-or-nothing emission sat
+behind ~1,700 s of default-on exhibits; round-6 keeps the default run
+inside the round-4 envelope and budget-guards everything optional).
 
 Headline metric (BASELINE.json): change-events/sec applied end-to-end
 (binlog -> validate -> LWW dedup -> MERGE into the lake table), measured on
 the scaling chain local[N] -> local[4N] -> local[16N] in separate JVMs on
 the same input -- the sandbox evidence for the N -> 4N scaling-efficiency
-criterion (>= 0.8 target), with the box's own busy-loop ceiling and a
-compute-bound exhibit measured per pair in the same run.
+criterion (>= 0.8 target), read against the same-run bare-parquet-write
+exhibit (one interleaved trial per level: the engine/bare >= 0.9 at both
+graded levels done-criterion from the round-4 verdict), the box's own
+busy-loop ceiling, and the compute-bound scan exhibit.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS, BENCH_DOCS, BENCH_SCALE_LO /
-_HI / _SAT, BENCH_TRIALS, BENCH_EPOCHS, BENCH_WRITE_MODE, BENCH_PIPELINED.
+_HI / _SAT, BENCH_TRIALS, BENCH_EPOCHS, BENCH_WRITE_MODE, BENCH_PIPELINED,
+BENCH_BUDGET_SEC (default 1450: optional exhibits are skipped once the
+elapsed wall crosses it), BENCH_FLOOR / BENCH_BARE / BENCH_COW /
+BENCH_SCAN / BENCH_CHUNKS64 / BENCH_QVAR / BENCH_WEAK (exhibit toggles).
 """
 
 from __future__ import annotations
@@ -228,7 +237,7 @@ def _worker_scan(cores: int) -> None:
         return time.time() - t0
 
     run_once()  # JIT/codegen warmup
-    best = min(run_once() for _ in range(3))
+    best = min(run_once() for _ in range(int(os.environ.get("BENCH_SCAN_RUNS", "2"))))
     print(json.dumps({"cores": cores, "rows": n, "sec": round(best, 3),
                       "rows_per_sec": round(n / best, 1)}))
 
@@ -344,6 +353,8 @@ def _floor_exhibit(binlog_dir: str, n_events: int, local_dir: str, cores: int) -
     sizes = [int(s) for s in sizes_env.split(",") if int(s) <= n_events // 2]
     points = []
     env_save = os.environ.get("BENCH_PIPELINED")
+    epochs_save = os.environ.get("BENCH_EPOCHS")  # round-5 ADVICE: a user-
+    # supplied BENCH_EPOCHS must survive the sweep for later runs
     os.environ["BENCH_PIPELINED"] = "0"
     try:
         for sz in sizes:
@@ -367,7 +378,10 @@ def _floor_exhibit(binlog_dir: str, n_events: int, local_dir: str, cores: int) -
                 }
             )
     finally:
-        os.environ.pop("BENCH_EPOCHS", None)
+        if epochs_save is None:
+            os.environ.pop("BENCH_EPOCHS", None)
+        else:
+            os.environ["BENCH_EPOCHS"] = epochs_save
         if env_save is None:
             os.environ.pop("BENCH_PIPELINED", None)
         else:
@@ -446,6 +460,16 @@ def main() -> None:
     # at 10^10 events ships thousands of segments, so the cluster-scale
     # scan is never file-bound.
     write_binlog(feed, binlog_dir, n_chunks=int(os.environ.get("BENCH_CHUNKS", "16")))
+    # 64-chunk variant of the SAME feed for the saturation dual-report
+    # (round-5 verdict item 5): the 16-chunk feed provably caps epoch
+    # decode at 4-wide and understates the saturation level; 16 chunks
+    # stay the round-over-round comparable series, the 64-chunk number is
+    # reported alongside. (Applying 64 chunks at the graded 1->4 pair was
+    # measured a wash inside box noise in round 5 -- not worth two runs.)
+    binlog64_dir = None
+    if os.environ.get("BENCH_CHUNKS64", "1") == "1":
+        binlog64_dir = os.path.join(base, "binlog64")
+        write_binlog(feed, binlog64_dir, n_chunks=64)
 
     # ---- headline query timings on SF_DIR --------------------------------
     qs = entrymod.queries()
@@ -483,6 +507,12 @@ def main() -> None:
     # this VM suffers multi-minute hypervisor CPU-steal waves (10-60% %st
     # observed), so best-epoch under identical input is the stable
     # estimator of machine capability; totals are reported alongside.
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "1450"))
+    skipped: list[str] = []
+
+    def elapsed() -> float:
+        return time.time() - t_total0
+
     def best_rate(w: dict) -> float:
         # per-epoch walls OVERLAP under pipelining -- the best-epoch
         # estimator is only meaningful for serial runs
@@ -500,69 +530,192 @@ def main() -> None:
     def steady_rate(w: dict) -> float:
         # SUSTAINED post-warmup rate (all epochs after the first): the
         # scaling-efficiency estimator. A single best epoch can catch a
-        # steal-free window and overstate the low-parallelism level (a
-        # 1M-event epoch at 4 cores occasionally matched 16 cores); the
+        # steal-free window and overstate the low-parallelism level; the
         # multi-epoch steady rate integrates over the steal waves, and
         # taking the best TRIAL per level applies the same noise filter
         # symmetrically to both levels.
         return float(w["events_per_sec_steady"]) or (w["events"] / w["wall_sec"])
 
-    # interleaved trials per level: the hypervisor's CPU-steal waves last
-    # minutes, so a single unlucky run poisons a level; best-epoch across
-    # two interleaved trials is the stable capability estimate.
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     levels = []
     for c in (SCALE_LO, SCALE_HI, SCALE_SAT):
         if c not in levels:
             levels.append(c)
+    runs: dict[int, list[dict]] = {c: [] for c in [*levels, CPUS]}
+    bares: dict[int, list[dict]] = {c: [] for c in levels}
+    scans: dict[int, list[dict]] = {c: [] for c in levels}
+    cow_runs: dict[int, dict] = {}
+    floor_exhibit = None
+    weak = None
+    sat64 = None
     try:
-        runs: dict[int, list[dict]] = {c: [] for c in [*levels, CPUS]}
-        scans: dict[int, list[dict]] = {c: [] for c in levels}
-        cow_runs: dict[int, dict] = {}
-        for _ in range(trials):
+        # interleaved trials per level, with ONE bare-parquet-write trial
+        # per level sandwiched between the two engine trials (same steal
+        # window as the engine runs it is read against -- the round-4
+        # verdict's done-criterion b wants engine/bare per level from the
+        # SAME driver artifact; the full bare matrix stays self-run)
+        for t in range(trials):
             for c in levels:
                 runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
-        # one EXTRA trial on the graded N->4N pair only: the efficiency
-        # metric is best-of-trials at each level, and this box's
-        # multi-minute steal waves can cover both standard trials of one
-        # level (observed: both 4c cells of one campaign inside an ~8%
-        # wave, halving the measured pair efficiency) -- a third sample of
-        # just the two graded levels is cheap insurance
-        for c in (SCALE_LO, SCALE_HI):
-            runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
-        # copy-on-write comparison point (one run per level): the same feed
-        # applied as per-epoch CoW MERGE -- write amplification O(table)
-        # per epoch, so expect lower absolute rate and flat scaling.
-        # Measured at the two FASTER levels only (cow at 1 thread is an
-        # O(table)/epoch workload that would add ~6 min of wall for no
-        # extra information).
-        if WRITE_MODE != "cow":
-            for c in (SCALE_HI, SCALE_SAT):
-                cow_runs[c] = _run_cdc_at(c, binlog_dir, N_EVENTS, local_dir, mode="cow")
-        bares: dict[int, list[dict]] = {c: [] for c in levels}
-        for _ in range(trials):
-            for c in levels:
-                scans[c].append(_run_scan_at(c, local_dir))
-            if os.environ.get("BENCH_BARE", "1") == "1":
+            if t == 0 and os.environ.get("BENCH_BARE", "1") == "1":
                 for c in levels:
                     bares[c].append(_run_bare_at(c, binlog_dir, N_EVENTS, local_dir))
-        # the box's own same-run ceiling (pure-CPU multiprocess busy loop)
-        ceiling = _busy_loop_ceiling(SCALE_LO, SCALE_HI)
-        ceiling_sat = _busy_loop_ceiling(SCALE_HI, SCALE_SAT)
-        # epoch-size floor exhibit (BENCH_FLOOR=0 to skip): ~3 extra
-        # serial-loop runs at saturation cores
-        floor_exhibit = None
-        if os.environ.get("BENCH_FLOOR", "1") == "1":
-            floor_exhibit = _floor_exhibit(binlog_dir, N_EVENTS, local_dir, SCALE_SAT)
+        # CONDITIONAL third trial on the graded N->4N pair (round-5 what's
+        # wrong #1 asked for this to stop being unconditional): only when
+        # a steal wave touched the graded levels or the two trials
+        # disagree by >25% -- the exact situations a third sample helps.
+        need_third = any(
+            (w.get("steal_pct") or 0) > 3.0
+            for c in (SCALE_LO, SCALE_HI)
+            for w in runs[c]
+        )
+        for c in (SCALE_LO, SCALE_HI):
+            rs = [steady_rate(w) for w in runs[c]]
+            if len(rs) > 1 and max(rs) > 1.25 * min(rs):
+                need_third = True
+        if need_third and elapsed() < budget:
+            for c in (SCALE_LO, SCALE_HI):
+                runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
+        elif need_third:
+            skipped.append("third_trial(budget)")
         if CPUS not in levels:
             runs[CPUS].append(_run_cdc_at(CPUS, binlog_dir, N_EVENTS, local_dir))
         else:
             runs[CPUS] = runs[SCALE_SAT]
-        # weak-scaling exhibit (BENCH_WEAK=1 to enable): same cores, half
-        # the feed. OFF by default: a single half-feed run proved noise-
-        # dominated on this steal-afflicted VM (opposite directions across
-        # two same-day runs) and misleads more than it informs.
-        weak = None
+        # the box's own same-run ceiling (pure-CPU multiprocess busy loop)
+        ceiling = _busy_loop_ceiling(SCALE_LO, SCALE_HI)
+        ceiling_sat = _busy_loop_ceiling(SCALE_HI, SCALE_SAT)
+
+        # ---- core aggregates (everything the graded criteria need) ------
+        lo, hi, full = runs[SCALE_LO][0], runs[SCALE_HI][0], runs[CPUS][0]
+        lo_rate = max(best_rate(w) for w in runs[SCALE_LO])
+        hi_rate = max(best_rate(w) for w in runs[SCALE_HI])
+        sat_rate = max(best_rate(w) for w in runs[SCALE_SAT])
+        full_rate = max(best_rate(w) for w in runs[CPUS])
+        lo_steady = max(steady_rate(w) for w in runs[SCALE_LO])
+        hi_steady = max(steady_rate(w) for w in runs[SCALE_HI])
+        sat_steady = max(steady_rate(w) for w in runs[SCALE_SAT])
+        factor = SCALE_HI / SCALE_LO
+        factor_sat = SCALE_SAT / SCALE_HI
+        efficiency = round(hi_steady / lo_steady / factor, 3)
+        efficiency_sat = round(sat_steady / hi_steady / factor_sat, 3)
+        bare = None
+        if any(bares.values()):
+            b_lo = max(w["events_per_sec_steady"] for w in bares[SCALE_LO])
+            b_hi = max(w["events_per_sec_steady"] for w in bares[SCALE_HI])
+            b_sat = max(w["events_per_sec_steady"] for w in bares[SCALE_SAT])
+            bare = {
+                "steady_low": b_lo,
+                "steady_high": b_hi,
+                "steady_sat": b_sat,
+                "scaling_efficiency": round(b_hi / b_lo / factor, 3),
+                "scaling_efficiency_next_4x": round(b_sat / b_hi / factor_sat, 3),
+                # per-LEVEL engine/bare throughput ratios: the round-4
+                # verdict's alternative done-criterion is >= 0.9 at BOTH
+                # graded levels in the driver artifact
+                "engine_bare_ratio_low": round(lo_steady / b_lo, 3) if b_lo else None,
+                "engine_bare_ratio_high": round(hi_steady / b_hi, 3) if b_hi else None,
+                "engine_bare_ratio_sat": round(sat_steady / b_sat, 3) if b_sat else None,
+                "engine_vs_bare_eff": round(
+                    (hi_steady / lo_steady) / (b_hi / b_lo), 3
+                ) if b_lo and b_hi else None,
+                "engine_vs_bare_eff_next_4x": round(
+                    (sat_steady / hi_steady) / (b_sat / b_hi), 3
+                ) if b_hi and b_sat else None,
+            }
+
+        def compact_line(partial: bool) -> None:
+            """The <1.5 KB summary the driver parses (its artifact capture
+            truncates long output from the tail, and round 2's single giant
+            JSON line reached the grader as parsed=null). Printed once as
+            soon as the core is measured -- a timeout in the optional
+            exhibits then still leaves a complete parsed line -- and again,
+            updated, as the LAST line of a full run."""
+            scan_block = None
+            if any(scans.values()):
+                s_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
+                s_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
+                s_sat = max(s["rows_per_sec"] for s in scans[SCALE_SAT])
+                scan_block = {
+                    "eff": round(s_hi / s_lo / factor, 3),
+                    "eff_next_4x": round(s_sat / s_hi / factor_sat, 3),
+                }
+            print(
+                json.dumps(
+                    {
+                        "metric": "cdc_merge_events_per_sec",
+                        "value": round(max(full_rate, sat_rate), 1),
+                        "unit": "sec",
+                        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                        "queries": qtimes,
+                        "partial": partial,
+                        "cdc": {
+                            "write_mode": WRITE_MODE,
+                            "pipelined": hi.get("pipelined", False),
+                            "events": hi["events"],
+                            "steady_low": round(lo_steady, 1),
+                            "steady_high": round(hi_steady, 1),
+                            "steady_sat": round(sat_steady, 1),
+                            "steady_full": round(steady_rate(full), 1),
+                            "cores": [SCALE_LO, SCALE_HI, SCALE_SAT, CPUS],
+                            "scaling_efficiency": efficiency,
+                            "scaling_efficiency_next_4x": efficiency_sat,
+                            "busy_loop_ceiling_efficiency": ceiling["scaling_efficiency"],
+                            "busy_loop_ceiling_next_4x": ceiling_sat["scaling_efficiency"],
+                            "bare_write_eff": (bare or {}).get("scaling_efficiency"),
+                            "engine_bare_ratio_low": (bare or {}).get("engine_bare_ratio_low"),
+                            "engine_bare_ratio_high": (bare or {}).get("engine_bare_ratio_high"),
+                            "engine_bare_ratio_sat": (bare or {}).get("engine_bare_ratio_sat"),
+                            "engine_vs_bare_eff": (bare or {}).get("engine_vs_bare_eff"),
+                            "sat_64chunk": (sat64 or {}).get("events_per_sec_steady"),
+                            "compute_scan": scan_block,
+                            "floor_fit": (floor_exhibit or {}).get("fit"),
+                            "steal_pct": {
+                                str(c): [w.get("steal_pct") for w in ws]
+                                for c, ws in runs.items()
+                            },
+                            "skipped": skipped or None,
+                        },
+                        "total_wall_sec": round(elapsed(), 3),
+                    },
+                    separators=(",", ":"),
+                )
+            )
+
+        compact_line(partial=True)
+
+        # ---- optional exhibits: budget-gated, in evidence-value order ----
+        # compute-bound scan exhibit (engine thread scaling with no
+        # commit/IO floor): one trial per level, best-of-2 inside
+        if os.environ.get("BENCH_SCAN", "1") == "1":
+            if elapsed() < budget:
+                for c in levels:
+                    scans[c].append(_run_scan_at(c, local_dir))
+            else:
+                skipped.append("compute_scan(budget)")
+        # 64-chunk saturation dual-report (round-5 verdict item 5)
+        if binlog64_dir is not None:
+            if elapsed() < budget:
+                sat64 = _run_cdc_at(SCALE_SAT, binlog64_dir, N_EVENTS, local_dir)
+            else:
+                skipped.append("sat_64chunk(budget)")
+        # copy-on-write comparison: ONE run at the graded high level (the
+        # r5 default also ran 16c cow -- 369 s for a non-graded exhibit --
+        # and helped blow the driver budget)
+        if WRITE_MODE != "cow" and os.environ.get("BENCH_COW", "1") == "1":
+            if elapsed() < budget:
+                cow_runs[SCALE_HI] = _run_cdc_at(
+                    SCALE_HI, binlog_dir, N_EVENTS, local_dir, mode="cow"
+                )
+            else:
+                skipped.append("cow(budget)")
+        # epoch-size floor exhibit: ~3 serial-loop sweeps, self-campaign
+        # only (BENCH_FLOOR=1) -- default OFF since round 6 (this exhibit
+        # cost round 5 its driver artifact)
+        if os.environ.get("BENCH_FLOOR", "0") == "1" and elapsed() < budget:
+            floor_exhibit = _floor_exhibit(binlog_dir, N_EVENTS, local_dir, SCALE_SAT)
+        # weak-scaling exhibit (BENCH_WEAK=1): noise-dominated on this VM,
+        # kept opt-in
         if os.environ.get("BENCH_WEAK", "0") == "1":
             half_dir = os.path.join(base, "binlog_half")
             os.makedirs(half_dir, exist_ok=True)
@@ -571,9 +724,8 @@ def main() -> None:
             chunks = sorted(_glob.glob(os.path.join(binlog_dir, "chunk-*.parquet")))
             for c in chunks[: len(chunks) // 2]:
                 os.link(c, os.path.join(half_dir, os.path.basename(c)))
-            # pass the FULL n_events so the worker keeps the same epoch
-            # SIZE (the half feed then runs half as many epochs) -- weak
-            # scaling compares per-event cost at constant per-epoch work
+            # FULL n_events keeps the same epoch SIZE (half feed -> half
+            # the epochs): weak scaling at constant per-epoch work
             weak_half = _run_cdc_at(SCALE_HI, half_dir, N_EVENTS, local_dir)
             weak = {
                 "half_feed": weak_half,
@@ -581,45 +733,19 @@ def main() -> None:
             }
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    lo, hi, full = runs[SCALE_LO][0], runs[SCALE_HI][0], runs[CPUS][0]
-    lo_rate = max(best_rate(w) for w in runs[SCALE_LO])
-    hi_rate = max(best_rate(w) for w in runs[SCALE_HI])
-    sat_rate = max(best_rate(w) for w in runs[SCALE_SAT])
-    full_rate = max(best_rate(w) for w in runs[CPUS])
-    lo_steady = max(steady_rate(w) for w in runs[SCALE_LO])
-    hi_steady = max(steady_rate(w) for w in runs[SCALE_HI])
-    sat_steady = max(steady_rate(w) for w in runs[SCALE_SAT])
-    factor = SCALE_HI / SCALE_LO
-    factor_sat = SCALE_SAT / SCALE_HI
-    efficiency = round(hi_steady / lo_steady / factor, 3)
-    efficiency_sat = round(sat_steady / hi_steady / factor_sat, 3)
-    scan_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
-    scan_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
-    scan_sat = max(s["rows_per_sec"] for s in scans[SCALE_SAT])
-    scan_eff = round(scan_hi / scan_lo / factor, 3)
-    scan_eff_sat = round(scan_sat / scan_hi / factor_sat, 3)
-    # bare-parquet-write exhibit: the hot path's irreducible scan+encode+
-    # write with zero engine code, same run -- 'engine eff / bare eff' is
-    # the engine-owned share of the scaling gap
-    bare = None
-    if any(bares.values()):
-        b_lo = max(w["events_per_sec_steady"] for w in bares[SCALE_LO])
-        b_hi = max(w["events_per_sec_steady"] for w in bares[SCALE_HI])
-        b_sat = max(w["events_per_sec_steady"] for w in bares[SCALE_SAT])
-        bare = {
-            "steady_low": b_lo,
-            "steady_high": b_hi,
-            "steady_sat": b_sat,
-            "scaling_efficiency": round(b_hi / b_lo / factor, 3),
-            "scaling_efficiency_next_4x": round(b_sat / b_hi / factor_sat, 3),
-            "engine_vs_bare_eff": round(
-                (hi_steady / lo_steady) / (b_hi / b_lo), 3
-            ) if b_lo and b_hi else None,
-            "engine_vs_bare_eff_next_4x": round(
-                (sat_steady / hi_steady) / (b_sat / b_hi), 3
-            ) if b_hi and b_sat else None,
-        }
 
+    scan_full = None
+    if any(scans.values()):
+        scan_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
+        scan_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
+        scan_sat = max(s["rows_per_sec"] for s in scans[SCALE_SAT])
+        scan_full = {
+            "rows_per_sec_low": scan_lo,
+            "rows_per_sec_high": scan_hi,
+            "rows_per_sec_sat": scan_sat,
+            "scaling_efficiency": round(scan_hi / scan_lo / factor, 3),
+            "scaling_efficiency_next_4x": round(scan_sat / scan_hi / factor_sat, 3),
+        }
     total = round(time.time() - t_total0, 3)
     print(
         json.dumps(
@@ -646,9 +772,6 @@ def main() -> None:
                     "steady_rate_sat": round(sat_steady, 1),
                     "speedup": round(hi_steady / lo_steady, 3),
                     "cores_factor": factor,
-                    # primary N->4N pair (both levels inside the host CPU
-                    # cap, the cluster-executor analog); the second 4x pair
-                    # additionally absorbs host oversubscription
                     "scaling_efficiency": efficiency,
                     "scaling_efficiency_next_4x": efficiency_sat,
                     "trials": {
@@ -661,84 +784,26 @@ def main() -> None:
                         for c, ws in runs.items()
                     },
                     "weak_scaling": weak,
-                    # compute-bound exhibit: the canonical-hash verification
-                    # scan (no commit/IO floor) -- engine thread scaling vs
-                    # the box's own ceiling (BASELINE.md busy-loop: 0.80)
-                    "compute_scan": {
-                        "rows_per_sec_low": scan_lo,
-                        "rows_per_sec_high": scan_hi,
-                        "rows_per_sec_sat": scan_sat,
-                        "scaling_efficiency": scan_eff,
-                        "scaling_efficiency_next_4x": scan_eff_sat,
-                    },
-                    # evidence-pack triple: engine efficiency is read against
-                    # the compute exhibit and the box's own busy-loop ceiling
+                    "compute_scan": scan_full,
                     "busy_loop_ceiling": ceiling,
                     "busy_loop_ceiling_next_4x": ceiling_sat,
-                    # per-epoch fixed-cost amortization vs epoch size
-                    # (serial loop at saturation cores; see _floor_exhibit)
                     "floor_exhibit": floor_exhibit,
                     "query_variance": query_variance,
                     "bare_write": bare,
+                    "sat_64chunk": sat64,
                     "cow_comparison": {
                         str(c): {"wall_sec": w["wall_sec"],
                                  "steady": w["events_per_sec_steady"],
                                  "steal_pct": w.get("steal_pct")}
                         for c, w in cow_runs.items()
                     } or None,
+                    "skipped": skipped or None,
                 },
                 "total_wall_sec": total,
             }
         )
     )
-    # COMPACT summary printed LAST (<1.5 KB): the driver's artifact capture
-    # truncates long output from the tail, and round 2's single giant JSON
-    # line reached the grader as parsed=null -- the final line must carry
-    # the headline metric, per-query timings, and the scaling evidence on
-    # its own.
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_merge_events_per_sec",
-                "value": round(max(full_rate, sat_rate), 1),
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": qtimes,
-                "cdc": {
-                    "write_mode": WRITE_MODE,
-                    "pipelined": hi.get("pipelined", False),
-                    "events": hi["events"],
-                    "steady_low": round(lo_steady, 1),
-                    "steady_high": round(hi_steady, 1),
-                    "steady_sat": round(sat_steady, 1),
-                    "steady_full": round(steady_rate(full), 1),
-                    "cores": [SCALE_LO, SCALE_HI, SCALE_SAT, CPUS],
-                    "scaling_efficiency": efficiency,
-                    "scaling_efficiency_next_4x": efficiency_sat,
-                    "compute_scan_efficiency": scan_eff,
-                    "compute_scan_efficiency_next_4x": scan_eff_sat,
-                    "busy_loop_ceiling_efficiency": ceiling["scaling_efficiency"],
-                    "busy_loop_ceiling_next_4x": ceiling_sat["scaling_efficiency"],
-                    "bare_write_eff": (bare or {}).get("scaling_efficiency"),
-                    "engine_vs_bare_eff": (bare or {}).get("engine_vs_bare_eff"),
-                    "engine_vs_bare_eff_next_4x": (bare or {}).get(
-                        "engine_vs_bare_eff_next_4x"
-                    ),
-                    "floor_fit": (floor_exhibit or {}).get("fit"),
-                    "floor_fractions": {
-                        str(p["epoch_events"]): p.get("floor_fraction")
-                        for p in (floor_exhibit or {}).get("points", [])
-                    } or None,
-                    "steal_pct": {
-                        str(c): [w.get("steal_pct") for w in ws]
-                        for c, ws in runs.items()
-                    },
-                },
-                "total_wall_sec": total,
-            },
-            separators=(",", ":"),
-        )
-    )
+    compact_line(partial=False)
 
 
 if __name__ == "__main__":
