@@ -439,6 +439,15 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     t_total0 = time.time()
+
+    def _phase(msg: str) -> None:
+        # stderr progress timestamps: when a run is killed at a budget the
+        # stderr tail tells WHICH phase ate the wall (round-6 diagnosis:
+        # a slow-box window made even trial 0 blow the budget with zero
+        # stdout). stderr only -- the stdout JSON stream stays parseable.
+        print(f"[bench +{time.time() - t_total0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     base = tempfile.mkdtemp(prefix="bench_", dir=_bench_tmp_base())
     local_dir = os.path.join(base, "sparklocal")
     os.makedirs(local_dir, exist_ok=True)
@@ -466,10 +475,14 @@ def main() -> None:
     # stay the round-over-round comparable series, the 64-chunk number is
     # reported alongside. (Applying 64 chunks at the graded 1->4 pair was
     # measured a wash inside box noise in round 5 -- not worth two runs.)
+    _phase("16-chunk binlog written")
     binlog64_dir = None
     if os.environ.get("BENCH_CHUNKS64", "1") == "1":
         binlog64_dir = os.path.join(base, "binlog64")
-        write_binlog(feed, binlog64_dir, n_chunks=64)
+        # re-read the materialized 16-chunk feed rather than recomputing
+        # the 8M-event generator lineage a second time (~1-2 min saved)
+        write_binlog(spark.read.parquet(binlog_dir), binlog64_dir, n_chunks=64)
+        _phase("64-chunk binlog written")
 
     # ---- headline query timings on SF_DIR --------------------------------
     qs = entrymod.queries()
@@ -548,59 +561,36 @@ def main() -> None:
     floor_exhibit = None
     weak = None
     sat64 = None
-    try:
-        # interleaved trials per level, with ONE bare-parquet-write trial
-        # per level sandwiched between the two engine trials (same steal
-        # window as the engine runs it is read against -- the round-4
-        # verdict's done-criterion b wants engine/bare per level from the
-        # SAME driver artifact; the full bare matrix stays self-run)
-        for t in range(trials):
-            for c in levels:
-                runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
-            if t == 0 and os.environ.get("BENCH_BARE", "1") == "1":
-                for c in levels:
-                    bares[c].append(_run_bare_at(c, binlog_dir, N_EVENTS, local_dir))
-        # CONDITIONAL third trial on the graded N->4N pair (round-5 what's
-        # wrong #1 asked for this to stop being unconditional): only when
-        # a steal wave touched the graded levels or the two trials
-        # disagree by >25% -- the exact situations a third sample helps.
-        need_third = any(
-            (w.get("steal_pct") or 0) > 3.0
-            for c in (SCALE_LO, SCALE_HI)
-            for w in runs[c]
-        )
-        for c in (SCALE_LO, SCALE_HI):
-            rs = [steady_rate(w) for w in runs[c]]
-            if len(rs) > 1 and max(rs) > 1.25 * min(rs):
-                need_third = True
-        if need_third and elapsed() < budget:
-            for c in (SCALE_LO, SCALE_HI):
-                runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
-        elif need_third:
-            skipped.append("third_trial(budget)")
-        if CPUS not in levels:
-            runs[CPUS].append(_run_cdc_at(CPUS, binlog_dir, N_EVENTS, local_dir))
-        else:
-            runs[CPUS] = runs[SCALE_SAT]
-        # the box's own same-run ceiling (pure-CPU multiprocess busy loop)
-        ceiling = _busy_loop_ceiling(SCALE_LO, SCALE_HI)
-        ceiling_sat = _busy_loop_ceiling(SCALE_HI, SCALE_SAT)
+    ceiling = {"scaling_efficiency": None}
+    ceiling_sat = {"scaling_efficiency": None}
+    factor = SCALE_HI / SCALE_LO
+    factor_sat = SCALE_SAT / SCALE_HI
 
-        # ---- core aggregates (everything the graded criteria need) ------
-        lo, hi, full = runs[SCALE_LO][0], runs[SCALE_HI][0], runs[CPUS][0]
-        lo_rate = max(best_rate(w) for w in runs[SCALE_LO])
-        hi_rate = max(best_rate(w) for w in runs[SCALE_HI])
-        sat_rate = max(best_rate(w) for w in runs[SCALE_SAT])
-        full_rate = max(best_rate(w) for w in runs[CPUS])
-        lo_steady = max(steady_rate(w) for w in runs[SCALE_LO])
-        hi_steady = max(steady_rate(w) for w in runs[SCALE_HI])
-        sat_steady = max(steady_rate(w) for w in runs[SCALE_SAT])
-        factor = SCALE_HI / SCALE_LO
-        factor_sat = SCALE_SAT / SCALE_HI
-        efficiency = round(hi_steady / lo_steady / factor, 3)
-        efficiency_sat = round(sat_steady / hi_steady / factor_sat, 3)
+    def _agg() -> dict | None:
+        """Core aggregates over whatever trials have COMPLETED so far.
+
+        The compact line is re-emitted after every phase, so this must
+        degrade gracefully: None until one engine run per level exists;
+        bare/full fields None until their runs exist."""
+        if not all(runs.get(c) for c in levels):
+            return None
+        a: dict = {}
+        a["lo_rate"] = max(best_rate(w) for w in runs[SCALE_LO])
+        a["hi_rate"] = max(best_rate(w) for w in runs[SCALE_HI])
+        a["sat_rate"] = max(best_rate(w) for w in runs[SCALE_SAT])
+        a["lo_steady"] = max(steady_rate(w) for w in runs[SCALE_LO])
+        a["hi_steady"] = max(steady_rate(w) for w in runs[SCALE_HI])
+        a["sat_steady"] = max(steady_rate(w) for w in runs[SCALE_SAT])
+        full_runs = runs.get(CPUS) or runs[SCALE_SAT]
+        a["full_rate"] = max(best_rate(w) for w in full_runs)
+        a["full_steady"] = max(steady_rate(w) for w in full_runs)
+        a["full0"] = full_runs[0]
+        a["efficiency"] = round(a["hi_steady"] / a["lo_steady"] / factor, 3)
+        a["efficiency_sat"] = round(
+            a["sat_steady"] / a["hi_steady"] / factor_sat, 3
+        )
         bare = None
-        if any(bares.values()):
+        if all(bares.get(c) for c in levels):
             b_lo = max(w["events_per_sec_steady"] for w in bares[SCALE_LO])
             b_hi = max(w["events_per_sec_steady"] for w in bares[SCALE_HI])
             b_sat = max(w["events_per_sec_steady"] for w in bares[SCALE_SAT])
@@ -613,76 +603,148 @@ def main() -> None:
                 # per-LEVEL engine/bare throughput ratios: the round-4
                 # verdict's alternative done-criterion is >= 0.9 at BOTH
                 # graded levels in the driver artifact
-                "engine_bare_ratio_low": round(lo_steady / b_lo, 3) if b_lo else None,
-                "engine_bare_ratio_high": round(hi_steady / b_hi, 3) if b_hi else None,
-                "engine_bare_ratio_sat": round(sat_steady / b_sat, 3) if b_sat else None,
+                "engine_bare_ratio_low": round(a["lo_steady"] / b_lo, 3) if b_lo else None,
+                "engine_bare_ratio_high": round(a["hi_steady"] / b_hi, 3) if b_hi else None,
+                "engine_bare_ratio_sat": round(a["sat_steady"] / b_sat, 3) if b_sat else None,
                 "engine_vs_bare_eff": round(
-                    (hi_steady / lo_steady) / (b_hi / b_lo), 3
+                    (a["hi_steady"] / a["lo_steady"]) / (b_hi / b_lo), 3
                 ) if b_lo and b_hi else None,
                 "engine_vs_bare_eff_next_4x": round(
-                    (sat_steady / hi_steady) / (b_sat / b_hi), 3
+                    (a["sat_steady"] / a["hi_steady"]) / (b_sat / b_hi), 3
                 ) if b_hi and b_sat else None,
             }
+        a["bare"] = bare
+        return a
 
-        def compact_line(partial: bool) -> None:
-            """The <1.5 KB summary the driver parses (its artifact capture
-            truncates long output from the tail, and round 2's single giant
-            JSON line reached the grader as parsed=null). Printed once as
-            soon as the core is measured -- a timeout in the optional
-            exhibits then still leaves a complete parsed line -- and again,
-            updated, as the LAST line of a full run."""
-            scan_block = None
-            if any(scans.values()):
-                s_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
-                s_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
-                s_sat = max(s["rows_per_sec"] for s in scans[SCALE_SAT])
-                scan_block = {
-                    "eff": round(s_hi / s_lo / factor, 3),
-                    "eff_next_4x": round(s_sat / s_hi / factor_sat, 3),
-                }
-            print(
-                json.dumps(
-                    {
-                        "metric": "cdc_merge_events_per_sec",
-                        "value": round(max(full_rate, sat_rate), 1),
-                        "unit": "sec",
-                        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                        "queries": qtimes,
-                        "partial": partial,
-                        "cdc": {
-                            "write_mode": WRITE_MODE,
-                            "pipelined": hi.get("pipelined", False),
-                            "events": hi["events"],
-                            "steady_low": round(lo_steady, 1),
-                            "steady_high": round(hi_steady, 1),
-                            "steady_sat": round(sat_steady, 1),
-                            "steady_full": round(steady_rate(full), 1),
-                            "cores": [SCALE_LO, SCALE_HI, SCALE_SAT, CPUS],
-                            "scaling_efficiency": efficiency,
-                            "scaling_efficiency_next_4x": efficiency_sat,
-                            "busy_loop_ceiling_efficiency": ceiling["scaling_efficiency"],
-                            "busy_loop_ceiling_next_4x": ceiling_sat["scaling_efficiency"],
-                            "bare_write_eff": (bare or {}).get("scaling_efficiency"),
-                            "engine_bare_ratio_low": (bare or {}).get("engine_bare_ratio_low"),
-                            "engine_bare_ratio_high": (bare or {}).get("engine_bare_ratio_high"),
-                            "engine_bare_ratio_sat": (bare or {}).get("engine_bare_ratio_sat"),
-                            "engine_vs_bare_eff": (bare or {}).get("engine_vs_bare_eff"),
-                            "sat_64chunk": (sat64 or {}).get("events_per_sec_steady"),
-                            "compute_scan": scan_block,
-                            "floor_fit": (floor_exhibit or {}).get("fit"),
-                            "steal_pct": {
-                                str(c): [w.get("steal_pct") for w in ws]
-                                for c, ws in runs.items()
-                            },
-                            "skipped": skipped or None,
-                        },
-                        "total_wall_sec": round(elapsed(), 3),
-                    },
-                    separators=(",", ":"),
-                )
-            )
+    def emit_compact(partial: bool) -> None:
+        """The <1.5 KB summary the driver parses (its artifact capture
+        truncates long output from the tail, and round 2's single giant
+        JSON line reached the grader as parsed=null). Re-emitted after
+        EVERY completed phase -- queries, trial 0, bare trials, each
+        further trial, each exhibit -- so a driver timeout at ANY point
+        still leaves the latest complete parsed line (round 5 shipped
+        rc=124/parsed=null; round 6's first campaign then hit a slow-box
+        window where even the graded core blew the budget). The last
+        line printed by a full run is this summary with partial=false."""
+        a = _agg()
+        scan_block = None
+        if all(scans.get(c) for c in levels):
+            s_lo = max(s["rows_per_sec"] for s in scans[SCALE_LO])
+            s_hi = max(s["rows_per_sec"] for s in scans[SCALE_HI])
+            s_sat = max(s["rows_per_sec"] for s in scans[SCALE_SAT])
+            scan_block = {
+                "eff": round(s_hi / s_lo / factor, 3),
+                "eff_next_4x": round(s_sat / s_hi / factor_sat, 3),
+            }
+        cdc_block = None
+        if a is not None:
+            hi0 = runs[SCALE_HI][0]
+            bare = a["bare"] or {}
+            cdc_block = {
+                "write_mode": WRITE_MODE,
+                "pipelined": hi0.get("pipelined", False),
+                "events": hi0["events"],
+                "steady_low": round(a["lo_steady"], 1),
+                "steady_high": round(a["hi_steady"], 1),
+                "steady_sat": round(a["sat_steady"], 1),
+                "steady_full": round(a["full_steady"], 1),
+                "cores": [SCALE_LO, SCALE_HI, SCALE_SAT, CPUS],
+                "scaling_efficiency": a["efficiency"],
+                "scaling_efficiency_next_4x": a["efficiency_sat"],
+                "busy_loop_ceiling_efficiency": ceiling["scaling_efficiency"],
+                "busy_loop_ceiling_next_4x": ceiling_sat["scaling_efficiency"],
+                "bare_write_eff": bare.get("scaling_efficiency"),
+                "engine_bare_ratio_low": bare.get("engine_bare_ratio_low"),
+                "engine_bare_ratio_high": bare.get("engine_bare_ratio_high"),
+                "engine_bare_ratio_sat": bare.get("engine_bare_ratio_sat"),
+                "engine_vs_bare_eff": bare.get("engine_vs_bare_eff"),
+                "sat_64chunk": (sat64 or {}).get("events_per_sec_steady"),
+                "compute_scan": scan_block,
+                "floor_fit": (floor_exhibit or {}).get("fit"),
+                "steal_pct": {
+                    str(c): [w.get("steal_pct") for w in ws]
+                    for c, ws in runs.items() if ws
+                },
+                "skipped": skipped or None,
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_merge_events_per_sec",
+                    "value": round(max(a["full_rate"], a["sat_rate"]), 1)
+                    if a is not None else None,
+                    "unit": "sec",
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "queries": qtimes,
+                    "partial": partial,
+                    "cdc": cdc_block,
+                    "total_wall_sec": round(elapsed(), 3),
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
 
-        compact_line(partial=True)
+    emit_compact(partial=True)  # queries-only line: the floor of evidence
+    try:
+        # ---- trial 0: one engine run per level, then ONE interleaved
+        # bare-parquet-write trial per level (same steal window as the
+        # engine runs it is read against -- the round-4 verdict's
+        # done-criterion b wants engine/bare per level from the SAME
+        # driver artifact; the full bare matrix stays self-run)
+        for c in levels:
+            runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
+            _phase(f"trial0 engine@{c} done")
+        ceiling = _busy_loop_ceiling(SCALE_LO, SCALE_HI)
+        ceiling_sat = _busy_loop_ceiling(SCALE_HI, SCALE_SAT)
+        emit_compact(partial=True)
+        if os.environ.get("BENCH_BARE", "1") == "1":
+            if elapsed() < 0.8 * budget:
+                for c in levels:
+                    bares[c].append(_run_bare_at(c, binlog_dir, N_EVENTS, local_dir))
+                    _phase(f"bare@{c} done")
+                emit_compact(partial=True)
+            else:
+                skipped.append("bare(budget)")
+        # further trials only with budget headroom: a slow-box window
+        # must not starve the partial line of its trial-0 data
+        for t in range(1, trials):
+            if elapsed() > 0.62 * budget:
+                skipped.append(f"trial{t}(budget)")
+                break
+            for c in levels:
+                runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
+            _phase(f"trial{t} done")
+            emit_compact(partial=True)
+        # CONDITIONAL third trial on the graded N->4N pair (round-5 what's
+        # wrong #1 asked for this to stop being unconditional): only when
+        # a steal wave touched the graded levels or the trials disagree
+        # by >25% -- the exact situations a third sample helps.
+        need_third = any(
+            (w.get("steal_pct") or 0) > 3.0
+            for c in (SCALE_LO, SCALE_HI)
+            for w in runs[c]
+        )
+        for c in (SCALE_LO, SCALE_HI):
+            rs = [steady_rate(w) for w in runs[c]]
+            if len(rs) > 1 and max(rs) > 1.25 * min(rs):
+                need_third = True
+        if need_third and elapsed() < 0.8 * budget:
+            for c in (SCALE_LO, SCALE_HI):
+                runs[c].append(_run_cdc_at(c, binlog_dir, N_EVENTS, local_dir))
+            _phase("third trial done")
+            emit_compact(partial=True)
+        elif need_third:
+            skipped.append("third_trial(budget)")
+        if CPUS not in levels:
+            if elapsed() < budget:
+                runs[CPUS].append(_run_cdc_at(CPUS, binlog_dir, N_EVENTS, local_dir))
+                _phase(f"full@{CPUS} done")
+                emit_compact(partial=True)
+            else:
+                skipped.append("full_cpus(budget)")
+        else:
+            runs[CPUS] = runs[SCALE_SAT]
 
         # ---- optional exhibits: budget-gated, in evidence-value order ----
         # compute-bound scan exhibit (engine thread scaling with no
@@ -691,12 +753,16 @@ def main() -> None:
             if elapsed() < budget:
                 for c in levels:
                     scans[c].append(_run_scan_at(c, local_dir))
+                _phase("compute_scan exhibit done")
+                emit_compact(partial=True)
             else:
                 skipped.append("compute_scan(budget)")
         # 64-chunk saturation dual-report (round-5 verdict item 5)
         if binlog64_dir is not None:
             if elapsed() < budget:
                 sat64 = _run_cdc_at(SCALE_SAT, binlog64_dir, N_EVENTS, local_dir)
+                _phase("sat_64chunk exhibit done")
+                emit_compact(partial=True)
             else:
                 skipped.append("sat_64chunk(budget)")
         # copy-on-write comparison: ONE run at the graded high level (the
@@ -747,33 +813,34 @@ def main() -> None:
             "scaling_efficiency_next_4x": round(scan_sat / scan_hi / factor_sat, 3),
         }
     total = round(time.time() - t_total0, 3)
+    a = _agg() or {}
     print(
         json.dumps(
             {
                 "metric": "cdc_merge_events_per_sec",
-                "value": round(max(full_rate, sat_rate), 1),
+                "value": round(max(a["full_rate"], a["sat_rate"]), 1) if a else None,
                 "unit": "sec",
                 "queries": qtimes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc": {
                     "write_mode": WRITE_MODE,
-                    "events": hi["events"],
+                    "events": runs[SCALE_HI][0]["events"] if runs[SCALE_HI] else None,
                     "scaling_chain_cores": [SCALE_LO, SCALE_HI, SCALE_SAT],
-                    "low_parallelism": lo,
-                    "high_parallelism": hi,
-                    "sat_parallelism": runs[SCALE_SAT][0],
-                    "full_parallelism": full,
-                    "best_epoch_rate_low": round(lo_rate, 1),
-                    "best_epoch_rate_high": round(hi_rate, 1),
-                    "best_epoch_rate_sat": round(sat_rate, 1),
-                    "best_epoch_rate_full": round(full_rate, 1),
-                    "steady_rate_low": round(lo_steady, 1),
-                    "steady_rate_high": round(hi_steady, 1),
-                    "steady_rate_sat": round(sat_steady, 1),
-                    "speedup": round(hi_steady / lo_steady, 3),
+                    "low_parallelism": (runs[SCALE_LO] or [None])[0],
+                    "high_parallelism": (runs[SCALE_HI] or [None])[0],
+                    "sat_parallelism": (runs[SCALE_SAT] or [None])[0],
+                    "full_parallelism": a.get("full0"),
+                    "best_epoch_rate_low": round(a["lo_rate"], 1) if a else None,
+                    "best_epoch_rate_high": round(a["hi_rate"], 1) if a else None,
+                    "best_epoch_rate_sat": round(a["sat_rate"], 1) if a else None,
+                    "best_epoch_rate_full": round(a["full_rate"], 1) if a else None,
+                    "steady_rate_low": round(a["lo_steady"], 1) if a else None,
+                    "steady_rate_high": round(a["hi_steady"], 1) if a else None,
+                    "steady_rate_sat": round(a["sat_steady"], 1) if a else None,
+                    "speedup": round(a["hi_steady"] / a["lo_steady"], 3) if a else None,
                     "cores_factor": factor,
-                    "scaling_efficiency": efficiency,
-                    "scaling_efficiency_next_4x": efficiency_sat,
+                    "scaling_efficiency": a.get("efficiency"),
+                    "scaling_efficiency_next_4x": a.get("efficiency_sat"),
                     "trials": {
                         str(c): [
                             {"wall_sec": w["wall_sec"], "steady": w["events_per_sec_steady"],
@@ -789,7 +856,7 @@ def main() -> None:
                     "busy_loop_ceiling_next_4x": ceiling_sat,
                     "floor_exhibit": floor_exhibit,
                     "query_variance": query_variance,
-                    "bare_write": bare,
+                    "bare_write": a.get("bare"),
                     "sat_64chunk": sat64,
                     "cow_comparison": {
                         str(c): {"wall_sec": w["wall_sec"],
@@ -803,7 +870,7 @@ def main() -> None:
             }
         )
     )
-    compact_line(partial=False)
+    emit_compact(partial=False)
 
 
 if __name__ == "__main__":
