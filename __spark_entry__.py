@@ -428,25 +428,31 @@ import tempfile as _tempfile
 # the reference's own test philosophy (engine-verify/src/verifier.rs:129-154)
 _CDC_GATE_ROOT = os.path.join(_tempfile.gettempdir(), "stratum_cdc_gate")
 _CDC_GATE_PARAMS = dict(n_docs=120, n_events=600, seed=42, max_tokens=16)
+# the incremental-read gate wants clean LWW-only semantics (no scripted
+# DDL mid-replay): schema evolution is covered by cdc_end_to_end
+_CDC_GATE_NOEVO_PARAMS = dict(
+    n_docs=120, n_events=600, seed=42, max_tokens=16, with_evolution=False
+)
 
 
-def _cdc_gate_binlog(spark) -> str:
+def _cdc_gate_binlog(spark, subdir: str = "binlog", params: dict | None = None) -> str:
     import json as _json
 
     from stratum_spark.cdc import generate_binlog, write_binlog
 
-    d = os.path.join(_CDC_GATE_ROOT, "binlog")
+    params = params or _CDC_GATE_PARAMS
+    d = os.path.join(_CDC_GATE_ROOT, subdir)
     marker = os.path.join(d, "_DONE")
     # the marker carries the generation-parameter fingerprint: a stale
     # feed left by an earlier run with different parameters regenerates
     # instead of silently mismatching the oracle
-    fpr = _json.dumps(_CDC_GATE_PARAMS, sort_keys=True)
+    fpr = _json.dumps(params, sort_keys=True)
     have = None
     if os.path.isfile(marker):
         with open(marker) as fh:
             have = fh.read()
     if have != fpr:
-        feed = generate_binlog(spark, **_CDC_GATE_PARAMS)
+        feed = generate_binlog(spark, **params)
         write_binlog(feed, d, n_chunks=2)
         with open(marker, "w") as fh:
             fh.write(fpr)
@@ -496,6 +502,39 @@ def _q_cdc_end_to_end_packed(spark, sf):
     ap.compact_deltas()
     return ap.state().orderBy("doc_id").select(
         "doc_id", "n_tok", "corpus", "lang", F.element_at("tokens", 1).alias("tok0")
+    )
+
+
+def _q_cdc_incremental_read(spark, sf):
+    """Incremental changes-between-snapshots read (Iceberg incremental read
+    / Delta Change Data Feed analog) under the driver gate: the
+    deterministic NO-EVOLUTION gate binlog applied in two 300-lsn epochs
+    (cow MERGE -> one snapshot version per epoch), then
+    LakeTable.read_changes(v_epoch1, v_latest) -- the bucket-pruned net
+    row diff a downstream consumer (tokenizer shard refresh, dedup index
+    update) re-processes instead of rescanning the table. Hash-gated
+    against the DuckDB diff of the two LWW replay states (lsn <= 300 vs
+    all). Change detection is whole-stored-row (incl. the lsn bookkeeping
+    column -- Delta CDF semantics: any new winner for a key is an update);
+    deletes carry the preimage."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.cdc import CdcApplier
+
+    binlog = _cdc_gate_binlog(spark, "binlog_noevo", _CDC_GATE_NOEVO_PARAMS)
+    wh = _tempfile.mkdtemp(prefix="cdc_gate_whi_")
+    ap = CdcApplier(spark, f"{wh}/wh", job_id="gatei", n_buckets=4,
+                    evolution=[], write_mode="cow",
+                    n_events_hint=_CDC_GATE_NOEVO_PARAMS["n_events"])
+    ap.run_backfill(binlog, epoch_size=300, stop_after=1)
+    v_a = ap.tokens.snapshot().version
+    ap.run_backfill(binlog, epoch_size=300)
+    ch = ap.tokens.read_changes(v_a)
+    return ch.orderBy("doc_id").select(
+        "doc_id",
+        F.col("_change_type").alias("change_type"),
+        "n_tok", "source", "lsn",
+        F.element_at("tokens", 1).alias("tok0"),
     )
 
 
@@ -585,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "cdc_end_to_end": _q_cdc_end_to_end,
         "cdc_end_to_end_packed": _q_cdc_end_to_end_packed,
+        "cdc_incremental_read": _q_cdc_incremental_read,
     }
 
 
@@ -879,4 +919,35 @@ def oracle_sql() -> dict[str, str]:
     # the packed storage mode must be INVISIBLE at the user-facing read:
     # same logical result, same oracle
     out["cdc_end_to_end_packed"] = out["cdc_end_to_end"]
+    # cdc_incremental_read: diff of the two LWW replay states of the SAME
+    # no-evolution gate binlog (epoch 1 = lsn <= 300, run_backfill's
+    # epoch slicing, vs the full replay). A key present only in B is an
+    # insert; only in A a delete (PREIMAGE values); in both with a
+    # different winning lsn an update (postimage values) -- lsn inequality
+    # is exactly whole-stored-row inequality here because the stored row
+    # is the lsn-chosen winner and lsn-tie duplicates re-emit identical
+    # payloads (the documented tie contract).
+    out["cdc_incremental_read"] = (
+        f"WITH ev AS (SELECT * FROM read_parquet('{_CDC_GATE_ROOT}/binlog_noevo/chunk-*.parquet')), "
+        "valid AS (SELECT * FROM ev WHERE op = 'D' OR n_tok = len(tokens)), "
+        "a AS (SELECT doc_id, tokens, n_tok, source, lsn FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn "
+        "FROM valid WHERE lsn <= 300) WHERE rn = 1 AND op <> 'D'), "
+        "b AS (SELECT doc_id, tokens, n_tok, source, lsn FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn "
+        "FROM valid) WHERE rn = 1 AND op <> 'D') "
+        "SELECT doc_id, change_type, n_tok, source, lsn, tok0 FROM ("
+        "SELECT b.doc_id, 'insert' AS change_type, b.n_tok, b.source, b.lsn, "
+        "b.tokens[1] AS tok0 FROM b LEFT JOIN a ON b.doc_id = a.doc_id "
+        "WHERE a.doc_id IS NULL "
+        "UNION ALL "
+        "SELECT b.doc_id, 'update_postimage' AS change_type, b.n_tok, b.source, "
+        "b.lsn, b.tokens[1] AS tok0 FROM b JOIN a ON b.doc_id = a.doc_id "
+        "WHERE b.lsn <> a.lsn "
+        "UNION ALL "
+        "SELECT a.doc_id, 'delete' AS change_type, a.n_tok, a.source, a.lsn, "
+        "a.tokens[1] AS tok0 FROM a LEFT JOIN b ON a.doc_id = b.doc_id "
+        "WHERE b.doc_id IS NULL"
+        ") ORDER BY doc_id"
+    )
     return out
