@@ -1471,6 +1471,23 @@ class CdcApplier:
         )
         return merged.where(F.col("op") != "D").drop("op")
 
+    def remove_orphans(self, grace_sec: float = 3600.0) -> dict:
+        """Sweep orphaned (written-but-never-committed) data files from
+        every table this applier owns — base, deltas, DLQ, lineage. Crash
+        windows in the two-phase protocol and exactly-once-skipped replays
+        both orphan phase-1 files by design (correctness-harmless, storage-
+        costing); this is the maintenance verb that reclaims them. Safe to
+        run while a backfill is live: files younger than grace_sec and dirs
+        holding in-progress Spark staging are never touched (see
+        LakeTable.remove_orphaned_files). Returns per-table counts."""
+        out: dict[str, dict] = {}
+        tables = {"tokens": self.tokens, "lineage": self.lineage, "dlq": self.dlq}
+        if self.deltas is not None:
+            tables["tokens_deltas"] = self.deltas
+        for name, t in tables.items():
+            out[name] = t.remove_orphaned_files(grace_sec=grace_sec)
+        return out
+
     def maybe_compact(self) -> MergeStats | None:
         """Ratio-policy compaction: fold deltas into the base when delta
         rows exceed auto_compact_ratio x base rows. Row counts come from

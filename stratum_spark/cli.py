@@ -348,6 +348,54 @@ def cmd_reset(args) -> int:
     return 0
 
 
+def cmd_gc(args) -> int:
+    """Maintenance sweep: orphaned phase-1 files (+ optional snapshot
+    expiry) across every table in the warehouse."""
+    ap = _applier(args)
+    out = ap.remove_orphans(grace_sec=args.grace_sec)
+    total_f = sum(v["files_removed"] for v in out.values())
+    total_b = sum(v["bytes_removed"] for v in out.values())
+    for name, v in out.items():
+        print(
+            f"{name}: files_removed={v['files_removed']} "
+            f"dirs_removed={v['dirs_removed']} bytes_removed={v['bytes_removed']}"
+        )
+    if args.expire_keep is not None:
+        for name, t in (
+            ("tokens", ap.tokens),
+            ("lineage", ap.lineage),
+            ("dlq", ap.dlq),
+            *((("tokens_deltas", ap.deltas),) if ap.deltas is not None else ()),
+        ):
+            e = t.expire_snapshots(keep_last=args.expire_keep)
+            print(
+                f"{name}: snapshots_removed={e['snapshots_removed']} "
+                f"expired_files_removed={e['files_removed']}"
+            )
+    print(f"total: files_removed={total_f} bytes_removed={total_b}")
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """Roll the target (bookmark-carrying) table back to an earlier
+    snapshot version. Exactly-once bookmarks roll back with the data, so a
+    subsequent backfill replays from the rolled-back epoch and converges."""
+    ap = _applier(args)
+    table = ap.deltas if ap.write_mode == "mor" else ap.tokens
+    try:
+        new_v = table.rollback(args.version)
+    except FileNotFoundError:
+        print(f"version {args.version} not found (expired or never existed)")
+        return 1
+    snap = table.snapshot()
+    bk = snap.committed.get(args.job_id, {})
+    print(
+        f"rolled back to v{args.version} as new v{new_v}; "
+        f"bookmark epoch={bk.get('epoch', -1)} lsn_max={bk.get('lsn_max')}"
+    )
+    return 0
+
+
 def cmd_version(args) -> int:
     import pyspark
 
@@ -446,6 +494,19 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="fold merge-on-read deltas into the base")
     _add_applier_args(p, "auto")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("gc", help="sweep orphaned data files (+ optional snapshot expiry)")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--grace-sec", type=float, default=3600.0,
+                   help="only files older than this are swept (protects in-flight writes)")
+    p.add_argument("--expire-keep", type=int, default=None,
+                   help="also expire snapshots, keeping the newest N per table")
+    p.set_defaults(fn=cmd_gc)
+
+    p = sub.add_parser("rollback", help="roll the bookmark table back to a snapshot version")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--version", type=int, required=True)
+    p.set_defaults(fn=cmd_rollback)
 
     p = sub.add_parser("reset", help="drop a warehouse's state")
     p.add_argument("--warehouse", required=True)

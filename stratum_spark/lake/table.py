@@ -1092,6 +1092,98 @@ class LakeTable:
                     shutil.rmtree(full)
         return {"snapshots_removed": len(drop), "files_removed": files_removed}
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot by committing a NEW
+        snapshot whose content equals the old one (Iceberg
+        rollback_to_snapshot analog: history is preserved — the rollback is
+        itself a version, so it can in turn be rolled back). The per-job
+        `committed` bookmarks roll back WITH the data: an exactly-once
+        replay after rollback resumes from the rolled-back epoch and
+        converges to the identical final state (asserted by
+        test_rollback_then_replay_converges). Raises FileNotFoundError if
+        `version` was expired by expire_snapshots. Returns the new version."""
+        target = self.snapshot(version)
+        while True:
+            cur = self.snapshot()
+            new = Snapshot(
+                version=cur.version + 1,
+                schema_id=target.schema_id,
+                schemas=target.schemas,
+                key=target.key,
+                key_field_id=target.key_field_id,
+                n_buckets=target.n_buckets,
+                files=list(target.files),
+                committed=dict(target.committed),
+                properties=dict(target.properties),
+            )
+            try:
+                self._write_snapshot(new)
+                return new.version
+            except CommitConflict:
+                continue
+
+    def remove_orphaned_files(self, grace_sec: float = 3600.0) -> dict:
+        """Delete data files under the table root that NO retained snapshot
+        references (Iceberg remove_orphan_files analog). Orphans are a
+        designed-in byproduct of the two-phase exactly-once protocol:
+        phase 1 (write_epoch_files) lands files BEFORE any snapshot
+        references them, so a crash between write and commit — or a
+        replayed epoch whose commit the exactly-once guard skipped — leaves
+        correctness-harmless garbage that still costs storage; at the
+        documented 10^10-event scale that garbage is worth sweeping.
+
+        Only files older than `grace_sec` (mtime) are touched, so in-flight
+        phase-1 writes — the deep-pipelined backfill prefetches epoch N+1's
+        write DURING epoch N's commit — are never swept; commit dirs still
+        holding a Spark `_temporary` staging dir are skipped outright.
+        Driver-side listing is O(files) stat calls on the shared warehouse
+        fs — the same visibility the write path already requires — and
+        never runs a Spark job. Returns deletion counts."""
+        import shutil
+
+        referenced: set[str] = set()
+        for s in self.history():
+            referenced.update(e.path for e in s.files)
+        cutoff = time.time() - grace_sec
+        data_root = os.path.join(self.root, _DATA)
+        removed = dirs_removed = 0
+        bytes_removed = 0
+        if not os.path.isdir(data_root):
+            return {"files_removed": 0, "dirs_removed": 0, "bytes_removed": 0}
+        for d in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, d)
+            if not os.path.isdir(cdir):
+                continue
+            names = os.listdir(cdir)
+            if "_temporary" in names:  # write in progress
+                continue
+            live = 0
+            for fn in names:
+                if not fn.endswith(".parquet"):
+                    continue  # sidecars (_SUCCESS, .crc) go with the dir
+                rel = os.path.join(_DATA, d, fn)
+                full = os.path.join(cdir, fn)
+                try:
+                    st = os.stat(full)
+                except FileNotFoundError:
+                    continue
+                if rel in referenced or st.st_mtime > cutoff:
+                    live += 1
+                else:
+                    os.remove(full)
+                    removed += 1
+                    bytes_removed += st.st_size
+            if live == 0 and os.path.getmtime(cdir) <= cutoff:
+                # nothing referenced or recent remains: drop the dir and
+                # its sidecar markers in one sweep
+                shutil.rmtree(cdir, ignore_errors=True)
+                dirs_removed += 1
+        return {
+            "files_removed": removed,
+            "dirs_removed": dirs_removed,
+            "bytes_removed": bytes_removed,
+        }
+
     def compact(self, target_files_per_bucket: int = 1) -> None:
         """Rewrite buckets whose file count exceeds the target (maintenance;
         Iceberg rewrite_data_files analog)."""
