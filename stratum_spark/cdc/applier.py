@@ -488,6 +488,31 @@ class CdcApplier:
             F.current_timestamp().alias("failed_at"),
         )
 
+    def _dlq_frame_small(self, small: DataFrame) -> DataFrame:
+        """Same rows/columns as _dlq_frame_narrow, rebuilt from the combined
+        per-doc epoch frame (see _prepare_epoch: one narrow scan feeds BOTH
+        the LWW winner build and this DLQ split, so the epoch's heavy token
+        column is decoded once for the pair instead of once each). Bad rows
+        were collected per doc; explode restores the per-row DLQ shape."""
+        return small.select("doc_id", F.explode("__bad").alias("b")).select(
+            F.col("b.lsn").alias("lsn"),
+            F.col("doc_id"),
+            F.lit("n_tok_mismatch").alias("rule"),
+            F.format_string(
+                "n_tok=%s != size(tokens)=%s", F.col("b.n_tok"), F.col("b.__sz")
+            ).alias("message"),
+            F.to_json(
+                F.struct(
+                    F.col("b.lsn").alias("lsn"),
+                    F.col("b.op").alias("op"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("b.n_tok").alias("n_tok"),
+                    F.col("b.schema_ver").alias("schema_ver"),
+                )
+            ).alias("payload"),
+            F.current_timestamp().alias("failed_at"),
+        )
+
     def _append_dlq_frame(self, frame: DataFrame, epoch: int) -> int:
         """Exactly-once DLQ append: the failed rows commit with a
         (job_id, epoch) bookmark on the DLQ table itself, so a replayed
@@ -618,6 +643,7 @@ class CdcApplier:
         narrow = None
         bad_narrow = None
         narrow_cached = False
+        small = None
         if self.write_mode == "mor":
             narrow = events.select(
                 "doc_id", "lsn", "op", "n_tok", "schema_ver",
@@ -742,16 +768,63 @@ class CdcApplier:
                 parts_future = pool.submit(parts_job)
                 parts = None
 
+            # COMBINED NARROW PASS -- measured NEGATIVE on this host,
+            # default OFF (STRATUM_COMBINED_NARROW=1 opts in). The idea:
+            # validation needs size(tokens) per row, so the DLQ split and
+            # the valid-winner LWW build each decode the heavy token column
+            # once more than the bare write (3 epoch decodes vs 1); one
+            # per-doc aggregate -- max valid lsn plus collect_list of the
+            # rare bad rows -- could feed BOTH from a single scan (2 decodes
+            # total). Measured at the graded 4-core level on the 8M-event
+            # bench feed (interleaved best-of-3, /tmp/ab_combined A/B,
+            # BASELINE.md round 6): combined 156.7k vs separate 222.0k
+            # ev/s (bare write 267.7k). Why it loses here: collect_list
+            # forces ObjectHashAggregate (no codegen), and at ~2.5
+            # events/doc the map-side partial agg barely reduces the
+            # exchange, so the skinny shuffle + persist on the broadcast-
+            # build critical path costs more than the overlapped DLQ decode
+            # it saves. On a cluster whose scan is remote-object-store-bound
+            # (decode+fetch ≫ local shuffle) the trade can flip -- the knob
+            # stays for that deployment, with correctness pinned by the
+            # differential test either way.
+            lww_strategy = self._lww_strategy_for_epoch(epoch)
+            if (
+                self.write_mode == "mor"
+                and self.epoch_dedup
+                and lww_strategy == "broadcast"
+                and self.validate
+                and narrow is not None
+                and os.environ.get("STRATUM_COMBINED_NARROW", "0") == "1"
+            ):
+                small = (
+                    narrow.groupBy("doc_id")
+                    .agg(
+                        F.max(F.when(~bad_narrow, F.col("lsn"))).alias("win_lsn"),
+                        F.collect_list(
+                            F.when(
+                                bad_narrow,
+                                F.struct("lsn", "op", "n_tok", "__sz", "schema_ver"),
+                            )
+                        ).alias("__bad"),
+                    )
+                    .persist()
+                )
+
             # DLQ write overlaps everything (its own bookmarked exactly-once
             # commit -- see _append_dlq_frame for the crash-window analysis);
-            # on the mor path it reads the narrow cache, not the feed.
+            # on the mor path it reads the combined per-doc frame (or the
+            # narrow projection when the combined pass is off), not the feed.
             # Submitted to the applier-wide single DLQ worker, NOT this
             # epoch's pool: overlapped epochs' DLQ commits must land in
             # epoch order or the monotonic bookmark silently drops the
             # older epoch's rows (see _dlq_pool).
             dlq_future = None
             if self.validate:
-                if narrow is not None:
+                if small is not None:
+                    dlq_future = self._dlq_pool.submit(
+                        self._append_dlq_frame, self._dlq_frame_small(small), epoch
+                    )
+                elif narrow is not None:
                     dlq_future = self._dlq_pool.submit(
                         self._append_dlq_frame,
                         self._dlq_frame_narrow(narrow, bad_narrow),
@@ -805,16 +878,21 @@ class CdcApplier:
             # asserted by test_broadcast_lww_tie_copies_identical_payload)
             # is what makes read-merge/compaction -- which resolve by
             # (doc_id, lsn) with an arbitrary tie-break -- deterministic.
-            lww_strategy = self._lww_strategy_for_epoch(epoch)
             if not self.epoch_dedup:
                 deduped = mapped
             elif self.write_mode == "mor" and lww_strategy == "broadcast":
                 # winner-lsn broadcast semi-join (cdc/dedup.py scale
-                # policy), with the winner aggregate reading the NARROW
-                # cache -- the append action's only heavy-column decode is
-                # the probe scan itself
-                valid_n = narrow.where(~bad_narrow) if self.validate else narrow
-                winners = valid_n.groupBy("doc_id").agg(F.max("lsn").alias("lsn"))
+                # policy). With the combined pass the winner aggregate is a
+                # projection of the persisted per-doc frame (already decoded
+                # once for the DLQ split); the append action's only
+                # heavy-column decode is the probe scan itself.
+                if small is not None:
+                    winners = small.where(F.col("win_lsn").isNotNull()).select(
+                        "doc_id", F.col("win_lsn").alias("lsn")
+                    )
+                else:
+                    valid_n = narrow.where(~bad_narrow) if self.validate else narrow
+                    winners = valid_n.groupBy("doc_id").agg(F.max("lsn").alias("lsn"))
                 deduped = mapped.join(F.broadcast(winners), ["doc_id", "lsn"], "left_semi")
             else:
                 deduped = lww_dedup(mapped, key="doc_id", order_col="lsn")
@@ -845,6 +923,7 @@ class CdcApplier:
                 "t0": t0,
                 "events": events,
                 "narrow": narrow,
+                "small": small,
                 "deduped": deduped,
                 "receipt_obs": receipt_obs,
                 "obs_stats": obs_stats,

@@ -232,3 +232,69 @@ def test_pack_int32_offset_overflow_guarded(monkeypatch):
     # sanity: the real bound passes and round-trips
     packed = packmod.pack_array(col)
     assert packmod.unpack_array(packed).to_pylist() == [[1, 2, 3], [4]]
+
+
+# ---------------------------------------------------------------------------
+# combined narrow pass (opt-in, measured negative on this host -- see the
+# _prepare_epoch comment + BASELINE.md round 6): the broadcast-LWW winner
+# build and the DLQ split share ONE narrow scan, trading the DLQ's token
+# decode for a skinny ObjectHashAggregate shuffle. Correctness of both
+# paths is pinned here regardless of which a deployment picks.
+
+
+def test_combined_narrow_pass_matches_separate_scans(spark, binlog6, tmp_path,
+                                                     monkeypatch):
+    """Differential: STRATUM_COMBINED_NARROW=1 (opt-in) vs =0 (default) must
+    produce byte-identical final state AND identical DLQ content (the feed
+    carries bad_frac invalid rows, so the DLQ branch is genuinely
+    exercised)."""
+    monkeypatch.delenv("STRATUM_LWW_PROBE", raising=False)
+
+    def run(flag: str, wh: str):
+        monkeypatch.setenv("STRATUM_COMBINED_NARROW", flag)
+        ap = CdcApplier(spark, str(tmp_path / wh), job_id="c", n_buckets=8,
+                        evolution=[], write_mode="mor",
+                        n_events_hint=4000)
+        ap.run_backfill(binlog6, epoch_size=1000, pipelined=True)
+        state = {
+            r["doc_id"]: (list(r["tokens"] or []), r["n_tok"], r["source"])
+            for r in ap.state().collect()
+        }
+        dlq = sorted(
+            (r["lsn"], r["doc_id"], r["rule"], r["message"], r["payload"])
+            for r in ap.dlq.read().collect()
+        )
+        return ap, state, dlq
+
+    ap1, state1, dlq1 = run("1", "w1")
+    ap0, state0, dlq0 = run("0", "w0")
+    assert state1 == state0
+    assert len(dlq1) > 0  # the split actually fired
+    assert dlq1 == dlq0
+    # and both match the sequential replay oracle
+    oracle = _oracle(binlog6)
+    assert set(state1) == set(oracle)
+    for k, w in oracle.items():
+        assert state1[k][0] == list(w["tokens"]), k
+
+
+def test_combined_pass_gated_off_for_shuffle_strategy(spark, binlog6, tmp_path,
+                                                      monkeypatch):
+    """Under the shuffle LWW strategy there is no winner broadcast build, so
+    the combined frame must not be constructed (its skinny shuffle would be
+    pure overhead) even when opted in; the DLQ falls back to the narrow-scan
+    path and content is unchanged."""
+    monkeypatch.delenv("STRATUM_LWW_PROBE", raising=False)
+    monkeypatch.setenv("STRATUM_COMBINED_NARROW", "1")
+    monkeypatch.setenv("STRATUM_LWW_STRATEGY", "shuffle")
+    ap = CdcApplier(spark, str(tmp_path / "wsfl"), job_id="c", n_buckets=8,
+                    evolution=[], write_mode="mor", n_events_hint=4000)
+    prep = ap._prepare_epoch(
+        spark.read.parquet(binlog6).where(F.col("lsn") <= 1000), 0
+    )
+    try:
+        assert prep is not None and prep["small"] is None
+        ap._commit_epoch(prep)
+    finally:
+        monkeypatch.delenv("STRATUM_LWW_STRATEGY", raising=False)
+    assert ap.dlq.read().count() > 0
