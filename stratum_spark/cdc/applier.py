@@ -306,6 +306,9 @@ class CdcApplier:
         # next epoch), funneling every DLQ append through this one worker
         # guarantees commits land in submission == epoch order.
         self._dlq_pool = ThreadPoolExecutor(max_workers=1)
+        # last epoch's DLQ row count: gates whether the next epoch's DLQ
+        # rides the write observation (see _dlq_obs_gate)
+        self._last_bad_count: int | None = None
 
     def flush_lineage(self) -> None:
         """Block until all queued lineage/receipt writes have committed;
@@ -513,6 +516,92 @@ class CdcApplier:
             F.current_timestamp().alias("failed_at"),
         )
 
+    def _dlq_obs_gate(self) -> bool:
+        """Should the NEXT epoch's DLQ ride the write job's observation?
+        Gated on the last epoch's observed bad-row count vs
+        STRATUM_DLQ_OBS_CAP (default 100k rows ~ 10 MB driver): the
+        collected list lands in driver memory, so a feed whose bad rate
+        blows the cap flips the applier back to the scan path from the
+        next epoch on (the over-cap epoch itself is a one-time spike --
+        collect_list has no mid-flight cutoff). Per-task partials are
+        bounded by per-task bad rows. STRATUM_DLQ_OBS=0 disables."""
+        if os.environ.get("STRATUM_DLQ_OBS", "1") != "1":
+            return False
+        cap = int(os.environ.get("STRATUM_DLQ_OBS_CAP", "100000"))
+        return self._last_bad_count is None or self._last_bad_count <= cap
+
+    def _dlq_obs_worker(self, q, epoch: int) -> int:
+        """Single-worker DLQ slot for observation-fed epochs. Submitted at
+        PREPARE time so the 1-wide pool keeps DLQ appends in epoch order
+        even when a later epoch's scan-path DLQ is submitted while this
+        epoch's write is still in flight; blocks until _commit_epoch feeds
+        the frame built from the write job's own metrics. None = nothing
+        to append (abandoned epoch or a commit failure -- crash repair
+        stays _dlq_catchup's job). The wait polls the executor-framework
+        shutdown flag so a prep abandoned WITHOUT _abandon_prep (private-
+        API misuse) degrades to a bounded exit-time wait instead of
+        hanging interpreter shutdown on a parked non-daemon thread."""
+        import queue as _queue
+
+        while True:
+            try:
+                frame = q.get(timeout=60.0)
+                break
+            except _queue.Empty:
+                from concurrent.futures import thread as _cft
+
+                if getattr(_cft, "_shutdown", False):
+                    return 0
+        if frame is None:
+            return 0
+        return self._append_dlq_frame(frame, epoch)
+
+    def _abandon_prep(self, prep: dict) -> None:
+        """Release a prepared epoch that will never be committed (pause
+        mid-pipeline; direct _prepare_epoch callers in tests): shut the
+        epoch pool, unpersist its frames, and unblock the DLQ worker slot
+        so the 1-wide pool never deadlocks on an unfed queue."""
+        prep["pool"].shutdown(wait=True)
+        prep["events"].unpersist()
+        if prep.get("narrow") is not None:
+            prep["narrow"].unpersist()
+        if prep.get("small") is not None:
+            prep["small"].unpersist()
+        if prep.get("dlq_q") is not None and not prep.get("dlq_fed"):
+            prep["dlq_q"].put(None)
+            prep["dlq_fed"] = True
+
+    def _dlq_frame_from_rows(self, rows) -> DataFrame:
+        """Tiny DLQ frame from the write observation's collected bad rows
+        (a driver-side local relation -- no feed scan at all). The same
+        Column expressions as the scan paths run over it, so the DLQ bytes
+        are identical regardless of which path produced them."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("__sz", T.IntegerType()),
+            T.StructField("schema_ver", T.IntegerType()),
+        ])
+        src = self.spark.createDataFrame(
+            [tuple(r) for r in rows] if rows else [], schema
+        )
+        return src.select(
+            F.col("lsn"),
+            F.col("doc_id"),
+            F.lit("n_tok_mismatch").alias("rule"),
+            F.format_string(
+                "n_tok=%s != size(tokens)=%s", F.col("n_tok"), F.col("__sz")
+            ).alias("message"),
+            F.to_json(F.struct("lsn", "op", "doc_id", "n_tok", "schema_ver")).alias(
+                "payload"
+            ),
+            F.current_timestamp().alias("failed_at"),
+        )
+
     def _append_dlq_frame(self, frame: DataFrame, epoch: int) -> int:
         """Exactly-once DLQ append: the failed rows commit with a
         (job_id, epoch) bookmark on the DLQ table itself, so a replayed
@@ -644,6 +733,7 @@ class CdcApplier:
         bad_narrow = None
         narrow_cached = False
         small = None
+        dlq_q = None
         if self.write_mode == "mor":
             narrow = events.select(
                 "doc_id", "lsn", "op", "n_tok", "schema_ver",
@@ -688,18 +778,51 @@ class CdcApplier:
             )
             obs_stats = None
             events_w = events
+            # DLQ-VIA-OBSERVATION (the decode-budget fold, round 6): the
+            # write probe already decodes the heavy token column and
+            # evaluates bad_pred, so the epoch's (rare, bad_frac-bounded)
+            # invalid rows can ride the SAME CollectMetrics node the stats
+            # fold uses -- collect_list of the DLQ fields, upstream of the
+            # validation filter. The DLQ append then runs over a tiny
+            # driver-built local relation instead of re-scanning (and
+            # re-decoding) the feed: per-epoch token decodes drop from 3
+            # (probe + winner build + DLQ) to 2 with ZERO new shuffles --
+            # unlike the combined-narrow-pass attempt above, nothing is
+            # added to any critical path. Size-gated by _dlq_obs_gate.
+            dlq_obs = (
+                fold_stats
+                and self.validate
+                and self._dlq_obs_gate()
+                and os.environ.get("STRATUM_COMBINED_NARROW", "0") != "1"
+            )
             if fold_stats:
                 from pyspark.sql import Observation
 
-                obs_stats = Observation(f"stats_{epoch}_{time.monotonic_ns()}")
-                events_w = events.observe(
-                    obs_stats,
+                aggs = [
                     F.count(F.lit(1)).alias("rows_in"),
                     F.min("lsn").alias("lsn_min"),
                     F.max("lsn").alias("lsn_max"),
                     F.sum("n_tok").alias("sum_tok"),
                     F.approx_count_distinct("doc_id").alias("keys_est"),
-                )
+                ]
+                if dlq_obs:
+                    aggs.append(
+                        F.collect_list(
+                            F.when(
+                                bad_pred,
+                                F.struct(
+                                    F.col("lsn"),
+                                    F.col("op"),
+                                    F.col("doc_id"),
+                                    F.col("n_tok"),
+                                    F.size("tokens").alias("__sz"),
+                                    F.col("schema_ver"),
+                                ),
+                            )
+                        ).alias("bad_rows")
+                    )
+                obs_stats = Observation(f"stats_{epoch}_{time.monotonic_ns()}")
+                events_w = events.observe(obs_stats, *aggs)
             bexpr = self.tokens._bucket_expr("doc_id")
             # touched-bucket discovery must cover every row the merge will
             # consume: with validation ON, bad rows are diverted to the DLQ
@@ -819,8 +942,19 @@ class CdcApplier:
             # epoch order or the monotonic bookmark silently drops the
             # older epoch's rows (see _dlq_pool).
             dlq_future = None
+            dlq_q = None
             if self.validate:
-                if small is not None:
+                if dlq_obs:
+                    # the frame arrives from _commit_epoch once the write
+                    # job's observation resolves; the worker slot is
+                    # claimed NOW so the 1-wide pool keeps epoch order
+                    import queue as _queue
+
+                    dlq_q = _queue.Queue(1)
+                    dlq_future = self._dlq_pool.submit(
+                        self._dlq_obs_worker, dlq_q, epoch
+                    )
+                elif small is not None:
                     dlq_future = self._dlq_pool.submit(
                         self._append_dlq_frame, self._dlq_frame_small(small), epoch
                     )
@@ -933,6 +1067,7 @@ class CdcApplier:
                     else None
                 ),
                 "dlq_future": dlq_future,
+                "dlq_q": dlq_q,
                 "parts_future": parts_future,
                 "parts": parts,
                 "pool": pool,
@@ -943,6 +1078,10 @@ class CdcApplier:
                 events.unpersist()
                 if narrow is not None:
                     narrow.unpersist()
+                if small is not None:
+                    small.unpersist()
+                if dlq_q is not None:
+                    dlq_q.put(None)  # release the DLQ worker slot
 
     def _commit_epoch(self, prep: dict) -> EpochStats:
         """Job 2 of the epoch: the MERGE (atomic lake commit with the epoch
@@ -976,6 +1115,18 @@ class CdcApplier:
                     # listener event lost (never observed in practice) --
                     # recompute with one explicit aggregation job
                     stats = self._epoch_stats_job(prep["events"])
+                if prep.get("dlq_q") is not None:
+                    # observation-fed DLQ: release the (epoch-ordered)
+                    # worker slot with the tiny driver-built frame; the
+                    # lost-event fallback rebuilds from the feed instead
+                    bad = stats["bad_rows"] if "bad_rows" in stats else None
+                    frame = (
+                        self._dlq_frame_from_rows(bad)
+                        if bad is not None
+                        else self._dlq_frame(prep["events"])
+                    )
+                    prep["dlq_q"].put(frame)
+                    prep["dlq_fed"] = True
                 rows_in = int(stats["rows_in"] or 0)
                 if rows_in == 0:
                     if prep["dlq_future"] is not None:
@@ -1050,6 +1201,9 @@ class CdcApplier:
                     )
             t_merge = time.time()
             n_dlq = prep["dlq_future"].result() if prep["dlq_future"] is not None else 0
+            if prep["dlq_future"] is not None:
+                # gates the NEXT epoch's dlq-via-observation attachment
+                self._last_bad_count = n_dlq
             if dbg:
                 import sys as _sys
 
@@ -1070,6 +1224,12 @@ class CdcApplier:
             prep["events"].unpersist()
             if prep.get("narrow") is not None:
                 prep["narrow"].unpersist()
+            if prep.get("small") is not None:
+                prep["small"].unpersist()
+            if prep.get("dlq_q") is not None and not prep.get("dlq_fed"):
+                # never leave the single DLQ worker parked on an unfed
+                # queue (it would deadlock every later epoch's DLQ)
+                prep["dlq_q"].put(None)
 
         wall_ms = int((time.time() - prep["t0"]) * 1000)
         batch_id = f"{self.job_id}-{epoch:08d}"
@@ -1482,10 +1642,7 @@ class CdcApplier:
                     if next_prep is not None:
                         prep = next_prep.result()
                         if prep is not None:  # abandon the prefetched epoch
-                            prep["pool"].shutdown(wait=True)
-                            prep["events"].unpersist()
-                            if prep.get("narrow") is not None:
-                                prep["narrow"].unpersist()
+                            self._abandon_prep(prep)
                     break
                 ep = epochs[i]
                 if next_prep is not None:

@@ -304,7 +304,7 @@ def test_mor_defer_dedup_matches_and_is_narrow(spark, tmp_path):
                    evolution=[], write_mode="mor", epoch_dedup=False)
     prep = c._prepare_epoch(feed, 0)
     plan = prep["deduped"]._jdf.queryExecution().executedPlan().toString()
-    prep["pool"].shutdown(wait=True)
+    c._abandon_prep(prep)  # prepare-only: release the DLQ worker slot too
     assert "Exchange" not in plan
     # compaction folds the duplicate-laden delta set to the same state
     b.compact_deltas()

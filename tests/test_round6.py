@@ -298,3 +298,76 @@ def test_combined_pass_gated_off_for_shuffle_strategy(spark, binlog6, tmp_path,
     finally:
         monkeypatch.delenv("STRATUM_LWW_STRATEGY", raising=False)
     assert ap.dlq.read().count() > 0
+
+
+# ---------------------------------------------------------------------------
+# DLQ via the write job's observation: the write probe already decodes the
+# token column and evaluates the validity predicate, so the epoch's rare
+# bad rows ride the SAME CollectMetrics node the stats fold uses and the
+# DLQ append becomes a tiny driver-built local relation -- per-epoch token
+# decodes drop from 3 to 2 with zero new shuffles (unlike the rejected
+# combined-narrow-pass, nothing lands on a critical path).
+
+
+def test_dlq_via_observation_matches_scan_path(spark, binlog6, tmp_path,
+                                               monkeypatch):
+    """Differential: STRATUM_DLQ_OBS=1 (default) vs =0 must produce
+    identical DLQ content AND final state; the obs path must actually
+    engage (bad rows present in the feed)."""
+    monkeypatch.delenv("STRATUM_LWW_PROBE", raising=False)
+
+    def run(flag: str, wh: str):
+        monkeypatch.setenv("STRATUM_DLQ_OBS", flag)
+        ap = CdcApplier(spark, str(tmp_path / wh), job_id="o", n_buckets=8,
+                        evolution=[], write_mode="mor", n_events_hint=4000)
+        ap.run_backfill(binlog6, epoch_size=1000, pipelined=True)
+        state = {r["doc_id"]: (list(r["tokens"] or []), r["n_tok"])
+                 for r in ap.state().collect()}
+        dlq = sorted(
+            (r["lsn"], r["doc_id"], r["rule"], r["message"], r["payload"])
+            for r in ap.dlq.read().collect()
+        )
+        return ap, state, dlq
+
+    ap1, state1, dlq1 = run("1", "wo1")
+    ap0, state0, dlq0 = run("0", "wo0")
+    assert len(dlq1) > 0
+    assert dlq1 == dlq0
+    assert state1 == state0
+    # obs path really fed the gate counter
+    assert ap1._last_bad_count is not None and ap1._last_bad_count > 0
+    # and the state matches the sequential replay oracle
+    oracle = _oracle(binlog6)
+    assert set(state1) == set(oracle)
+    for k, w in oracle.items():
+        assert state1[k][0] == list(w["tokens"]), k
+
+
+def test_dlq_obs_cap_flips_to_scan_path(spark, binlog6, tmp_path, monkeypatch):
+    """A bad-row count above STRATUM_DLQ_OBS_CAP must flip subsequent
+    epochs back to the scan path (driver-memory bound), with DLQ content
+    unchanged; an under-cap feed keeps the obs path on."""
+    monkeypatch.delenv("STRATUM_LWW_PROBE", raising=False)
+    monkeypatch.setenv("STRATUM_DLQ_OBS_CAP", "1")
+    ap = CdcApplier(spark, str(tmp_path / "wcap"), job_id="o", n_buckets=8,
+                    evolution=[], write_mode="mor", n_events_hint=4000)
+    ap.run_backfill(binlog6, epoch_size=1000)
+    assert ap._last_bad_count is not None and ap._last_bad_count > 1
+    assert not ap._dlq_obs_gate()
+    # content equals the no-obs run bit for bit
+    monkeypatch.setenv("STRATUM_DLQ_OBS", "0")
+    ap0 = CdcApplier(spark, str(tmp_path / "wcap0"), job_id="o", n_buckets=8,
+                     evolution=[], write_mode="mor", n_events_hint=4000)
+    ap0.run_backfill(binlog6, epoch_size=1000)
+    monkeypatch.setenv("STRATUM_DLQ_OBS", "1")
+    a = sorted((r["lsn"], r["doc_id"], r["payload"]) for r in ap.dlq.read().collect())
+    b = sorted((r["lsn"], r["doc_id"], r["payload"]) for r in ap0.dlq.read().collect())
+    assert a == b
+    # a fresh prepare on the over-cap applier takes the scan path (probe
+    # LAST: the scan path commits its DLQ rows at prepare by design)
+    feed = spark.read.parquet(binlog6).where(F.col("lsn") <= 1000)
+    prep = ap._prepare_epoch(feed, 99)
+    try:
+        assert prep["dlq_q"] is None  # scan path (cap exceeded)
+    finally:
+        ap._abandon_prep(prep)

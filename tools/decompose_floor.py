@@ -73,6 +73,8 @@ def _worker(config: str, cores: int, binlog_dir: str, n_events: int) -> None:
 
         if config == "sep":  # combined narrow pass OFF (separate scans A/B)
             os.environ["STRATUM_COMBINED_NARROW"] = "0"
+        if config == "noobs":  # DLQ-via-observation OFF (scan-path A/B)
+            os.environ["STRATUM_DLQ_OBS"] = "0"
         validate = config != "novalidate"
         dedup = config != "nodedup"
         ap = CdcApplier(
