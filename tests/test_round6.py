@@ -371,3 +371,74 @@ def test_dlq_obs_cap_flips_to_scan_path(spark, binlog6, tmp_path, monkeypatch):
         assert prep["dlq_q"] is None  # scan path (cap exceeded)
     finally:
         ap._abandon_prep(prep)
+
+
+def _oracle_dlq_lsns6(binlog_dir):
+    return sorted(replay_binlog(binlog_dir).dlq_lsns)
+
+
+def test_dlq_obs_exactly_once_crash_after_dlq_before_merge(spark, binlog6,
+                                                           tmp_path):
+    """Crash window A under the observation-fed DLQ (mor): the DLQ worker's
+    append can commit concurrently with the merge, so a crash after the DLQ
+    commit but before commit_epoch_files must leave a resumed backfill with
+    the exact oracle DLQ set (the replayed epoch's bookmarked append is a
+    no-op)."""
+    wh = str(tmp_path / "whOA")
+    ap1 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[],
+                     write_mode="mor", n_events_hint=4000)
+    real_commit = ap1.deltas.commit_epoch_files
+
+    def crash_commit(entries, **kw):
+        # the prep dict isn't reachable here; the DLQ future is the only
+        # other in-flight epoch work -- drain the 1-wide pool so the DLQ
+        # append has definitely committed, then die before the merge commit
+        ap1._dlq_pool.submit(lambda: None).result()
+        raise RuntimeError("injected crash before merge commit")
+
+    ap1.deltas.commit_epoch_files = crash_commit
+    feed = spark.read.parquet(binlog6).where(F.col("lsn") <= 1000)
+    prep = ap1._prepare_epoch(feed, 0)
+    assert prep["dlq_q"] is not None  # obs path engaged
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ap1._commit_epoch(prep)
+    ap1.deltas.commit_epoch_files = real_commit
+    assert ap1.deltas.committed_epoch("t") == -1  # merge never committed
+    assert ap1.dlq.committed_epoch("t") == 0  # DLQ commit survived
+
+    ap2 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[],
+                     write_mode="mor", n_events_hint=4000)
+    ap2.run_backfill(binlog6, epoch_size=1000)
+    got = sorted(r["lsn"] for r in ap2.dlq.read().collect())
+    assert got and got == _oracle_dlq_lsns6(binlog6)
+    # state converges to the oracle despite the injected crash
+    state = {r["doc_id"]: list(r["tokens"] or []) for r in ap2.state().collect()}
+    oracle = _oracle(binlog6)
+    assert set(state) == set(oracle)
+    for k, w in oracle.items():
+        assert state[k] == list(w["tokens"]), k
+
+
+def test_dlq_obs_exactly_once_crash_after_merge_before_dlq(spark, binlog6,
+                                                           tmp_path):
+    """Crash window B under the observation-fed DLQ (mor): the merge
+    committed but the observation-built DLQ frame was lost. _dlq_catchup's
+    scan-path rebuild from the feed slice must restore exactly that epoch's
+    DLQ rows on resume, and a second resume must change nothing."""
+    wh = str(tmp_path / "whOB")
+    ap1 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[],
+                     write_mode="mor", n_events_hint=4000)
+    ap1._append_dlq_frame = lambda frame, epoch: 0  # lost DLQ flush
+    ap1.run_backfill(binlog6, epoch_size=1000, stop_after=1)
+    assert ap1.deltas.committed_epoch("t") == 0
+    assert ap1.dlq.committed_epoch("t") == -1 and ap1.dlq.row_count() == 0
+
+    ap2 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[],
+                     write_mode="mor", n_events_hint=4000)
+    ap2.run_backfill(binlog6, epoch_size=1000)
+    got = sorted(r["lsn"] for r in ap2.dlq.read().collect())
+    assert got == _oracle_dlq_lsns6(binlog6)
+    ap3 = CdcApplier(spark, wh, job_id="t", n_buckets=8, evolution=[],
+                     write_mode="mor", n_events_hint=4000)
+    ap3.run_backfill(binlog6, epoch_size=1000)
+    assert sorted(r["lsn"] for r in ap3.dlq.read().collect()) == got
