@@ -15,6 +15,7 @@ separate state directory):
     status    committed epoch/lsn/schema-ver + lineage tail for a warehouse
     verify    recompute the destination digest vs the stored receipt
     compact   fold merge-on-read deltas into the base table
+    binpack   coalesce small files only (size-aware compaction)
     reset     drop the warehouse state (stratum `reset`)
     version   engine + Spark versions
 
@@ -297,6 +298,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_binpack(args) -> int:
+    """Size-aware small-file compaction on every table in the warehouse
+    (Iceberg rewrite_data_files binpack analog): coalesce only files under
+    --small-mb, leaving healthy files' bytes untouched."""
+    ap = _applier(args)
+    small = int(args.small_mb * (1 << 20))
+    target = int(args.target_mb * (1 << 20))
+    for name, t in (
+        ("tokens", ap.tokens),
+        ("lineage", ap.lineage),
+        ("dlq", ap.dlq),
+        *((("tokens_deltas", ap.deltas),) if ap.deltas is not None else ()),
+    ):
+        r = t.compact_binpack(small_file_bytes=small, target_file_bytes=target)
+        print(
+            f"{name}: files_in={r['files_in']} files_out={r['files_out']} "
+            f"bytes_in={r['bytes_in']} groups={r['groups']}"
+        )
+    return 0
+
+
 def _pause_marker(warehouse: str) -> str:
     return os.path.join(warehouse, "_PAUSE")
 
@@ -494,6 +516,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="fold merge-on-read deltas into the base")
     _add_applier_args(p, "auto")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("binpack", help="coalesce small files only (size-aware compaction)")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--small-mb", type=float, default=32.0,
+                   help="files under this size are coalesced")
+    p.add_argument("--target-mb", type=float, default=128.0,
+                   help="target output file size")
+    p.set_defaults(fn=cmd_binpack)
 
     p = sub.add_parser("gc", help="sweep orphaned data files (+ optional snapshot expiry)")
     _add_applier_args(p, default_mode="auto")

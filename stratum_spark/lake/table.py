@@ -80,6 +80,13 @@ class FileEntry:
     # records lsn bounds so per-file lineage (offset ranges) comes from
     # metadata the manifest pass ALREADY reads, with zero extra Spark jobs.
     stats: dict | None = None
+    # physical file size, recorded at write time from the same footer pass
+    # that reads row counts (Iceberg manifest file_size_in_bytes analog) --
+    # size-aware maintenance (bin-pack compaction) then never stats files,
+    # which matters when "stat" is an object-store HEAD per file. None on
+    # entries written before the field existed (readers fall back to a
+    # getsize call).
+    size_bytes: int | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -90,6 +97,8 @@ class FileEntry:
         }
         if self.stats:
             d["stats"] = {c: list(v) for c, v in self.stats.items()}
+        if self.size_bytes is not None:
+            d["size_bytes"] = self.size_bytes
         return d
 
     @staticmethod
@@ -101,7 +110,8 @@ class FileEntry:
         if stats is not None:
             stats = {c: tuple(v) for c, v in stats.items()}
         return FileEntry(
-            d["path"], tuple(buckets), d["schema_id"], d["rows"], stats=stats
+            d["path"], tuple(buckets), d["schema_id"], d["rows"], stats=stats,
+            size_bytes=d.get("size_bytes"),
         )
 
 
@@ -168,12 +178,17 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _parquet_footer(path: str, stats_cols: tuple[str, ...]) -> tuple[int, dict]:
-    """(num_rows, {col: (min, max)}) from the parquet footer -- the same
-    single metadata read the manifest row counts need; column bounds are
-    folded over the row-group statistics parquet writers emit anyway."""
+def _parquet_footer(
+    path: str, stats_cols: tuple[str, ...]
+) -> tuple[int, dict, int]:
+    """(num_rows, {col: (min, max)}, size_bytes) from the parquet footer --
+    the same single metadata read the manifest row counts need; column
+    bounds are folded over the row-group statistics parquet writers emit
+    anyway, and the physical size is a stat on a file whose metadata the
+    OS just paged in."""
     import pyarrow.parquet as pq
 
+    size = os.path.getsize(path)
     md = pq.ParquetFile(path).metadata
     bounds: dict[str, tuple] = {}
     if stats_cols and md.num_rows:
@@ -192,7 +207,7 @@ def _parquet_footer(path: str, stats_cols: tuple[str, ...]) -> tuple[int, dict]:
                 mx = st.max if mx is None else max(mx, st.max)
             if mn is not None:
                 bounds[col] = (mn, mx)
-    return md.num_rows, bounds
+    return md.num_rows, bounds, size
 
 
 class LakeTable:
@@ -617,8 +632,9 @@ class LakeTable:
                 schema_id=snap.schema_id,
                 rows=r,
                 stats=bounds or None,
+                size_bytes=sz,
             )
-            for (rel, split, _), (r, bounds) in zip(todo, footers)
+            for (rel, split, _), (r, bounds, sz) in zip(todo, footers)
             if r > 0
         ]
 
@@ -656,6 +672,7 @@ class LakeTable:
             buckets=(0,),
             schema_id=snap.schema_id,
             rows=len(rows),
+            size_bytes=os.path.getsize(path),
         )
         self._append_files_with_retry([entry])
         return len(rows)
@@ -1216,3 +1233,89 @@ class LakeTable:
             properties=snap.properties,
         )
         self._write_snapshot(new)
+
+    def compact_binpack(
+        self,
+        small_file_bytes: int = 32 << 20,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict:
+        """Size-aware small-file compaction (Iceberg rewrite_data_files
+        BinPackStrategy analog): coalesce ONLY files below small_file_bytes
+        into ~target_file_bytes outputs, leaving every healthy file's bytes
+        untouched. `compact()` above rewrites whole over-target buckets --
+        right after a cow MERGE storm, wrong for a 100 TB table where a
+        bucket's base file is tens of GB and the stragglers are a few MB of
+        appends: bin-pack reads and rewrites ONLY the straggler bytes.
+
+        Candidates are grouped by their exact bucket-set signature (files
+        from clustered commits with the same layout share split->bucket
+        assignments, so same-split files across commits group naturally;
+        unclustered delta-table files all cover every bucket and form one
+        group) and coalesced within the group, so every rewritten file
+        keeps a bucket set identical to its inputs -- bucket-pruned reads
+        and merges prune exactly as well after the rewrite as before.
+        File sizes come from the manifest (size_bytes, recorded at write
+        time); entries predating the field fall back to one getsize each.
+
+        One atomic snapshot commits all groups; a crash mid-rewrite leaves
+        only unreferenced files for remove_orphaned_files. Rows are moved
+        verbatim (no dedup, no filter), so state() is invariant and
+        read_changes across the rewrite diffs to zero rows. Old-schema
+        candidate files are resolved to the current schema on read, so
+        bin-pack doubles as lazy schema-migration of cold small files.
+        Returns {files_in, files_out, bytes_in, groups}."""
+        import dataclasses
+        import math
+
+        snap = self.snapshot()
+
+        def _size(e: FileEntry) -> int:
+            if e.size_bytes is not None:
+                return e.size_bytes
+            return os.path.getsize(os.path.join(self.root, e.path))
+
+        groups: dict[tuple, list[FileEntry]] = {}
+        for e in snap.files:
+            if _size(e) < small_file_bytes:
+                groups.setdefault(tuple(sorted(e.buckets)), []).append(e)
+        groups = {sig: es for sig, es in groups.items() if len(es) >= 2}
+        if not groups:
+            return {"files_in": 0, "files_out": 0, "bytes_in": 0, "groups": 0}
+
+        stats_cols = tuple(
+            sorted({c for es in groups.values() for e in es if e.stats for c in e.stats})
+        )
+        rewritten: set[str] = set()
+        new_entries: list[FileEntry] = []
+        bytes_in = 0
+        for sig, es in groups.items():
+            g_bytes = sum(_size(e) for e in es)
+            bytes_in += g_bytes
+            df = self._read_entries(es, snap)
+            k = max(1, math.ceil(g_bytes / target_file_bytes))
+            out = self._write_data(
+                df.coalesce(k), snap, clustered=False, stats_cols=stats_cols
+            )
+            # the group's files all cover exactly `sig`; stamp the outputs
+            # with that same set (write_data's unclustered path marks all
+            # buckets, which is correct but prune-hostile)
+            new_entries.extend(dataclasses.replace(e, buckets=sig) for e in out)
+            rewritten.update(e.path for e in es)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=snap.n_buckets,
+            files=[e for e in snap.files if e.path not in rewritten] + new_entries,
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return {
+            "files_in": len(rewritten),
+            "files_out": len(new_entries),
+            "bytes_in": bytes_in,
+            "groups": len(groups),
+        }

@@ -174,3 +174,134 @@ def test_cli_gc_and_rollback_verbs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "epoch=0" in out
     assert main(["rollback", "--version", "999999", *args]) == 1
+
+
+# ---------------------------------------------------------------------------
+# size-aware bin-pack compaction (Iceberg rewrite_data_files BinPackStrategy
+# analog): coalesce only small files, leave healthy files' bytes untouched,
+# preserve bucket-set signatures so pruning is unharmed.
+# ---------------------------------------------------------------------------
+
+
+def test_binpack_coalesces_small_files_and_preserves_state(spark, tmp_path):
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=4,
+    )
+    # several small appends -> many small files per bucket signature
+    for i in range(4):
+        rows = [(f"d{i}_{j}", [1, 2, j], 3, "s") for j in range(30)]
+        t.append(spark.createDataFrame(rows, t.snapshot().schema.spark_schema()))
+    snap0 = t.snapshot()
+    before = {r["doc_id"]: list(r["tokens"]) for r in t.read().collect()}
+    n_files0 = len(snap0.files)
+    assert n_files0 >= 8  # enough stragglers to pack
+    # every entry carries the manifest size (written by _parquet_footer)
+    assert all(e.size_bytes is not None and e.size_bytes > 0 for e in snap0.files)
+
+    r = t.compact_binpack(small_file_bytes=1 << 20, target_file_bytes=64 << 20)
+    assert r["files_in"] >= 2 and r["files_out"] < r["files_in"]
+    snap1 = t.snapshot()
+    assert len(snap1.files) < n_files0
+    # rows verbatim: state invariant
+    after = {r["doc_id"]: list(r["tokens"]) for r in t.read().collect()}
+    assert after == before
+    # bucket-set signatures preserved: for every bucket, reads prune to the
+    # same rows as the full read
+    for b in range(4):
+        got = {r["doc_id"] for r in t.read_buckets([b]).collect()}
+        import pyspark.sql.functions as F
+        want = {r["doc_id"] for r in t.read().withColumn(
+            "__b", t._bucket_expr("doc_id")).where(F.col("__b") == b).collect()}
+        assert got >= want  # pruned read covers the bucket's rows
+    # incremental read across a pure rewrite diffs to ZERO rows
+    assert t.read_changes(snap0.version, snap1.version).count() == 0
+
+
+def test_binpack_leaves_large_files_untouched(spark, tmp_path):
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp2"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=2,
+    )
+    rows = [(f"big{j}", list(range(50)), 50, "s") for j in range(2000)]
+    t.append(spark.createDataFrame(rows, t.snapshot().schema.spark_schema()))
+    big_paths = {e.path for e in t.snapshot().files}
+    for i in range(2):
+        t.append(spark.createDataFrame(
+            [(f"sm{i}_{j}", [1], 1, "s") for j in range(5)],
+            t.snapshot().schema.spark_schema()))
+    big_bytes = min(e.size_bytes for e in t.snapshot().files if e.path in big_paths)
+    r = t.compact_binpack(small_file_bytes=min(big_bytes, 1 << 20),
+                          target_file_bytes=64 << 20)
+    assert r["files_in"] >= 2
+    # the big files' paths survive the rewrite byte-identical (not rewritten)
+    assert big_paths <= {e.path for e in t.snapshot().files}
+
+
+def test_binpack_preserves_column_bounds_stats(spark, tmp_path):
+    """Delta-style tables carry per-file lsn bounds; bin-pack must keep the
+    stats on the rewritten files (lineage offset ranges stay metadata-only)."""
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp3"),
+        "doc_id string, lsn bigint, op string", key=None, n_buckets=4,
+    )
+    schema = t.snapshot().schema.spark_schema()
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(f"d{j}", i * 100 + j, "U") for j in range(50)], schema).coalesce(1)
+        entries = t._write_data(df.withColumn(
+            "_bucket", F.lit(0)), t.snapshot(), clustered=False, stats_cols=("lsn",))
+        t._append_files_with_retry(entries)
+    assert all(e.stats and "lsn" in e.stats for e in t.snapshot().files)
+    lo = min(e.stats["lsn"][0] for e in t.snapshot().files)
+    hi = max(e.stats["lsn"][1] for e in t.snapshot().files)
+    r = t.compact_binpack(small_file_bytes=1 << 20, target_file_bytes=64 << 20)
+    assert r["files_in"] == 3 and r["files_out"] == 1
+    e = t.snapshot().files[-1]
+    assert e.stats and e.stats["lsn"] == (lo, hi)
+    assert t.read().count() == 150
+
+
+def test_binpack_legacy_entries_without_size_fall_back_to_getsize(spark, tmp_path):
+    import dataclasses
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp4"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=2,
+    )
+    for i in range(2):
+        t.append(spark.createDataFrame(
+            [(f"d{i}_{j}", [1, 2], 2, "s") for j in range(10)],
+            t.snapshot().schema.spark_schema()))
+    # simulate pre-size_bytes manifests
+    snap = t.snapshot()
+    stripped = dataclasses.replace(
+        snap, version=snap.version + 1,
+        files=[dataclasses.replace(e, size_bytes=None) for e in snap.files])
+    t._write_snapshot(stripped)
+    before = {r["doc_id"] for r in t.read().collect()}
+    r = t.compact_binpack(small_file_bytes=1 << 20)
+    assert r["files_in"] >= 2
+    assert {r["doc_id"] for r in t.read().collect()} == before
+
+
+def test_cli_binpack_verb(spark, tmp_path, capsys):
+    feed = _mk_feed(spark, tmp_path)
+    wh = str(tmp_path / "whbp")
+    assert main(["backfill", "--warehouse", wh, "--binlog", feed,
+                 "--job-id", "m", "--epoch-size", "300",
+                 "--write-mode", "mor"]) == 0
+    assert main(["binpack", "--warehouse", wh, "--job-id", "m",
+                 "--small-mb", "1", "--target-mb", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "tokens_deltas:" in out and "files_in=" in out
