@@ -1307,6 +1307,22 @@ class CdcApplier:
         self._lineage_futures.append(
             self._lineage_pool.submit(self.lineage.append_local, lineage_rows)
         )
+        # auto small-file maintenance: lineage accretes ONE tiny file per
+        # epoch (append_local), so a 10^5-epoch job would leave 10^5 files
+        # and O(files) snapshot JSON. Every STRATUM_BINPACK_EPOCHS epochs
+        # (default 64, 0 disables) the same single lineage worker bin-packs
+        # them -- the driver-side pyarrow fast path applies (same schema,
+        # KB-sized files), so this costs zero Spark jobs and cannot
+        # conflict with the appends it is serialized behind.
+        k = int(os.environ.get("STRATUM_BINPACK_EPOCHS", "64"))
+        if k > 0 and epoch > 0 and epoch % k == 0:
+            self._lineage_futures.append(
+                self._lineage_pool.submit(
+                    self.lineage.compact_binpack,
+                    small_file_bytes=8 << 20,
+                    target_file_bytes=64 << 20,
+                )
+            )
         if prep["receipt_obs"] is not None and self.epoch_mode != "stream":
             # batch mode: the observation fired during the merge/write scan
             # of the deduped batch -- folding it to a root + writing the

@@ -1288,34 +1288,109 @@ class LakeTable:
         rewritten: set[str] = set()
         new_entries: list[FileEntry] = []
         bytes_in = 0
+        driver_groups = 0
         for sig, es in groups.items():
             g_bytes = sum(_size(e) for e in es)
             bytes_in += g_bytes
-            df = self._read_entries(es, snap)
-            k = max(1, math.ceil(g_bytes / target_file_bytes))
-            out = self._write_data(
-                df.coalesce(k), snap, clustered=False, stats_cols=stats_cols
-            )
-            # the group's files all cover exactly `sig`; stamp the outputs
-            # with that same set (write_data's unclustered path marks all
-            # buckets, which is correct but prune-hostile)
-            new_entries.extend(dataclasses.replace(e, buckets=sig) for e in out)
+            # driver fast path: a group of current-schema files totalling
+            # under one target file concatenates via pyarrow -- ZERO Spark
+            # jobs. This is what keeps per-epoch metadata tables (lineage
+            # appends one tiny file per epoch) compactable from a worker
+            # thread without ever touching the cluster; mirrors
+            # append_local on the write side.
+            if g_bytes <= target_file_bytes and all(
+                e.schema_id == snap.schema_id for e in es
+            ):
+                new_entries.append(self._binpack_group_local(es, sig, snap, stats_cols))
+                driver_groups += 1
+            else:
+                df = self._read_entries(es, snap)
+                k = max(1, math.ceil(g_bytes / target_file_bytes))
+                out = self._write_data(
+                    df.coalesce(k), snap, clustered=False, stats_cols=stats_cols
+                )
+                # the group's files all cover exactly `sig`; stamp the
+                # outputs with that same set (write_data's unclustered path
+                # marks all buckets -- correct but prune-hostile)
+                new_entries.extend(dataclasses.replace(e, buckets=sig) for e in out)
             rewritten.update(e.path for e in es)
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_id=snap.schema_id,
-            schemas=snap.schemas,
-            key=snap.key,
-            key_field_id=snap.key_field_id,
-            n_buckets=snap.n_buckets,
-            files=[e for e in snap.files if e.path not in rewritten] + new_entries,
-            committed=snap.committed,
-            properties=snap.properties,
-        )
-        self._write_snapshot(new)
+        self._commit_rewrite(rewritten, new_entries, snap)
         return {
             "files_in": len(rewritten),
             "files_out": len(new_entries),
             "bytes_in": bytes_in,
             "groups": len(groups),
+            "driver_groups": driver_groups,
         }
+
+    def _binpack_group_local(
+        self,
+        es: list[FileEntry],
+        sig: tuple,
+        snap: Snapshot,
+        stats_cols: tuple[str, ...],
+    ) -> FileEntry:
+        """Concatenate one bin-pack group driver-side with pyarrow (no
+        Spark job); only called for same-schema groups small enough to be
+        a single output file."""
+        import pyarrow.parquet as pq
+
+        commit_id = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join(_DATA, commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+        os.makedirs(out_dir)
+        tbl = pq.read_table([os.path.join(self.root, e.path) for e in es])
+        rel = os.path.join(rel_dir, "part-00000-binpack.parquet")
+        out_path = os.path.join(self.root, rel)
+        pq.write_table(tbl, out_path)
+        rows, bounds, size = _parquet_footer(out_path, stats_cols)
+        return FileEntry(
+            path=rel,
+            buckets=sig,
+            schema_id=snap.schema_id,
+            rows=rows,
+            stats=bounds or None,
+            size_bytes=size,
+        )
+
+    def _commit_rewrite(
+        self,
+        rewritten: set[str],
+        new_entries: list[FileEntry],
+        base: Snapshot,
+        max_attempts: int = 20,
+    ) -> None:
+        """Commit a REWRITE (inputs replaced by outputs), rebasing on
+        CommitConflict like _append_files_with_retry: a rewrite rebases
+        safely onto any snapshot that still references every input file
+        (concurrent APPENDS compose -- their files are kept). If an input
+        vanished (a concurrent rewrite/expiry won), abandon: the outputs
+        become unreferenced orphans for remove_orphaned_files, and the
+        table is untouched."""
+        for _ in range(max_attempts):
+            cur = self.snapshot()
+            have = {e.path for e in cur.files}
+            if not rewritten <= have:
+                raise CommitConflict(
+                    "bin-pack inputs were removed by a concurrent rewrite; "
+                    "abandoning (outputs left as orphans for gc)"
+                )
+            new = Snapshot(
+                version=cur.version + 1,
+                schema_id=cur.schema_id,
+                schemas=cur.schemas,
+                key=cur.key,
+                key_field_id=cur.key_field_id,
+                n_buckets=cur.n_buckets,
+                files=[e for e in cur.files if e.path not in rewritten] + new_entries,
+                committed=cur.committed,
+                properties=cur.properties,
+            )
+            try:
+                self._write_snapshot(new)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"rewrite of {self.root} lost the commit race {max_attempts} times"
+        )

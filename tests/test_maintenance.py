@@ -305,3 +305,84 @@ def test_cli_binpack_verb(spark, tmp_path, capsys):
                  "--small-mb", "1", "--target-mb", "64"]) == 0
     out = capsys.readouterr().out
     assert "tokens_deltas:" in out and "files_in=" in out
+
+
+def test_binpack_driver_fast_path_runs_zero_spark_jobs(spark, tmp_path,
+                                                       monkeypatch):
+    """Small same-schema groups concatenate driver-side with pyarrow --
+    the Spark write path must never be touched (this is what lets the
+    applier's lineage worker bin-pack per-epoch metadata files without
+    cluster jobs)."""
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp5"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=2,
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(f"d{i}_{j}", [i, j], 2, "s") for j in range(20)],
+            t.snapshot().schema.spark_schema()))
+    before = {r["doc_id"]: list(r["tokens"]) for r in t.read().collect()}
+
+    def no_spark(*a, **kw):
+        raise AssertionError("Spark write path used for a driver-size group")
+
+    monkeypatch.setattr(t, "_write_data", no_spark)
+    r = t.compact_binpack(small_file_bytes=1 << 20, target_file_bytes=64 << 20)
+    assert r["files_in"] >= 2 and r["driver_groups"] == r["groups"] > 0
+    after = {r2["doc_id"]: list(r2["tokens"]) for r2 in t.read().collect()}
+    assert after == before
+
+
+def test_commit_rewrite_rebases_onto_concurrent_append(spark, tmp_path):
+    """A rewrite commit that loses the race to a concurrent APPEND must
+    rebase: the appended file is kept, the rewrite's inputs are replaced
+    by its outputs. An input removed by a concurrent rewrite aborts."""
+    import pytest
+    from stratum_spark.lake.table import CommitConflict, LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp6"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=2,
+    )
+    sch = t.snapshot().schema.spark_schema()
+    for i in range(2):
+        t.append(spark.createDataFrame(
+            [(f"a{i}_{j}", [i], 1, "s") for j in range(10)], sch))
+    snap0 = t.snapshot()
+    inputs = list(snap0.files)
+    sig = tuple(sorted({b for e in inputs for b in e.buckets}))
+    packed = t._binpack_group_local(inputs, sig, snap0, ())
+    # concurrent append lands AFTER the rewrite planned against snap0
+    t.append(spark.createDataFrame([("c_0", [9], 1, "s")], sch))
+    t._commit_rewrite({e.path for e in inputs}, [packed], snap0)
+    snap = t.snapshot()
+    paths = {e.path for e in snap.files}
+    assert packed.path in paths
+    assert not any(e.path in paths for e in inputs)
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {f"a{i}_{j}" for i in range(2) for j in range(10)} | {"c_0"}
+    # abandoned case: an input that no longer exists aborts the rewrite
+    with pytest.raises(CommitConflict, match="abandoning"):
+        t._commit_rewrite({"data/deadbeef/gone.parquet"}, [packed], snap)
+
+
+def test_auto_binpack_caps_lineage_file_count(spark, tmp_path, monkeypatch):
+    """One tiny lineage file lands per epoch; with STRATUM_BINPACK_EPOCHS
+    the lineage worker folds them (driver-side, zero Spark jobs) and the
+    lineage CONTENT is unchanged."""
+    feed = _mk_feed(spark, tmp_path)
+    monkeypatch.setenv("STRATUM_BINPACK_EPOCHS", "2")
+    ap = CdcApplier(spark, str(tmp_path / "whab"), job_id="m", n_buckets=8,
+                    evolution=[], write_mode="mor")
+    ap.run_backfill(feed, epoch_size=100)  # 9 epochs
+    ap.flush_lineage()
+    n_epochs = N_EVENTS // 100
+    files = ap.lineage.snapshot().files
+    assert len(files) < n_epochs, f"{len(files)} lineage files for {n_epochs} epochs"
+    eps = sorted(r["epoch"] for r in ap.lineage.read().where(
+        F.col("partition_id") == -1).collect())
+    assert eps == list(range(n_epochs))
