@@ -1323,6 +1323,19 @@ class CdcApplier:
                     target_file_bytes=64 << 20,
                 )
             )
+            # the DLQ accretes one small file per bad-row epoch the same
+            # way; its binpack rides the DLQ's OWN single worker so it
+            # serializes with the epoch-ordered appends (and the rewrite
+            # commit rebases should a stray append race it anyway).
+            # Bookmarks live in snapshot.committed, which rewrites carry
+            # over -- exactly-once replay suppression is unaffected.
+            self._lineage_futures.append(
+                self._dlq_pool.submit(
+                    self.dlq.compact_binpack,
+                    small_file_bytes=8 << 20,
+                    target_file_bytes=64 << 20,
+                )
+            )
         if prep["receipt_obs"] is not None and self.epoch_mode != "stream":
             # batch mode: the observation fired during the merge/write scan
             # of the deduped batch -- folding it to a root + writing the

@@ -1342,7 +1342,13 @@ class LakeTable:
         tbl = pq.read_table([os.path.join(self.root, e.path) for e in es])
         rel = os.path.join(rel_dir, "part-00000-binpack.parquet")
         out_path = os.path.join(self.root, rel)
-        pq.write_table(tbl, out_path)
+        # Spark writes timestamps as INT96, which pyarrow surfaces as
+        # nanoseconds; written back verbatim they'd become TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects against a `timestamp`
+        # schema. Coerce to micros (Spark's internal precision -- lossless).
+        pq.write_table(
+            tbl, out_path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
         rows, bounds, size = _parquet_footer(out_path, stats_cols)
         return FileEntry(
             path=rel,

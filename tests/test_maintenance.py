@@ -371,9 +371,10 @@ def test_commit_rewrite_rebases_onto_concurrent_append(spark, tmp_path):
 
 
 def test_auto_binpack_caps_lineage_file_count(spark, tmp_path, monkeypatch):
-    """One tiny lineage file lands per epoch; with STRATUM_BINPACK_EPOCHS
-    the lineage worker folds them (driver-side, zero Spark jobs) and the
-    lineage CONTENT is unchanged."""
+    """One tiny lineage file lands per epoch (and one DLQ file per bad-row
+    epoch); with STRATUM_BINPACK_EPOCHS each table's own single worker
+    folds them (driver-side, zero Spark jobs) with CONTENT unchanged and
+    exactly-once bookmarks intact."""
     feed = _mk_feed(spark, tmp_path)
     monkeypatch.setenv("STRATUM_BINPACK_EPOCHS", "2")
     ap = CdcApplier(spark, str(tmp_path / "whab"), job_id="m", n_buckets=8,
@@ -386,3 +387,14 @@ def test_auto_binpack_caps_lineage_file_count(spark, tmp_path, monkeypatch):
     eps = sorted(r["epoch"] for r in ap.lineage.read().where(
         F.col("partition_id") == -1).collect())
     assert eps == list(range(n_epochs))
+    # DLQ packed too: content equals the replay oracle's skipped lsns and
+    # the (job_id, epoch) bookmark survived the rewrites
+    dlq_lsns = sorted(r["lsn"] for r in ap.dlq.read().collect())
+    assert dlq_lsns == sorted(replay_binlog(feed).dlq_lsns)
+    assert ap.dlq.committed_epoch("m") >= 0
+    # resume is still a full no-op on the packed warehouse
+    ap2 = CdcApplier(spark, str(tmp_path / "whab"), job_id="m", n_buckets=8,
+                     evolution=[], write_mode="mor")
+    stats = ap2.run_backfill(feed, epoch_size=100)
+    assert all(s.skipped for s in stats)
+    assert sorted(r["lsn"] for r in ap2.dlq.read().collect()) == dlq_lsns
