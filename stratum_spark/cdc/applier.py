@@ -317,6 +317,32 @@ class CdcApplier:
         for f in futs:
             f.result()
 
+    def _binpack_and_expire(self, table) -> dict:
+        """Periodic metadata-table maintenance, run ON the table's own
+        single writer worker (serialized with its appends): bin-pack the
+        per-epoch small files (driver-side pyarrow path -- zero Spark
+        jobs), then expire history down to STRATUM_META_KEEP versions
+        (default 16) so the superseded pre-pack files and the per-epoch
+        version JSONs actually leave the disk. Applied only to the
+        append-only metadata tables (lineage, DLQ) whose old versions
+        carry no time-travel value -- the data tables (tokens, deltas)
+        keep full history for rollback/read_changes and are expired only
+        explicitly (CLI gc --expire-keep)."""
+        from stratum_spark.lake.table import CommitConflict
+
+        try:
+            r = table.compact_binpack(
+                small_file_bytes=8 << 20, target_file_bytes=64 << 20
+            )
+            keep = int(os.environ.get("STRATUM_META_KEEP", "16"))
+            r.update(table.expire_snapshots(keep_last=keep))
+            return r
+        except CommitConflict:
+            # maintenance is best-effort: a lost race (external writer on
+            # the same table) must never fail the ingest -- next cadence
+            # retries from a fresh snapshot
+            return {"skipped": "commit_conflict"}
+
     # ------------------------------------------------------------------
     def _n_executors(self) -> int:
         """Executor count for the broadcast-traffic bound (1 in local
@@ -1317,11 +1343,7 @@ class CdcApplier:
         k = int(os.environ.get("STRATUM_BINPACK_EPOCHS", "64"))
         if k > 0 and epoch > 0 and epoch % k == 0:
             self._lineage_futures.append(
-                self._lineage_pool.submit(
-                    self.lineage.compact_binpack,
-                    small_file_bytes=8 << 20,
-                    target_file_bytes=64 << 20,
-                )
+                self._lineage_pool.submit(self._binpack_and_expire, self.lineage)
             )
             # the DLQ accretes one small file per bad-row epoch the same
             # way; its binpack rides the DLQ's OWN single worker so it
@@ -1330,11 +1352,7 @@ class CdcApplier:
             # Bookmarks live in snapshot.committed, which rewrites carry
             # over -- exactly-once replay suppression is unaffected.
             self._lineage_futures.append(
-                self._dlq_pool.submit(
-                    self.dlq.compact_binpack,
-                    small_file_bytes=8 << 20,
-                    target_file_bytes=64 << 20,
-                )
+                self._dlq_pool.submit(self._binpack_and_expire, self.dlq)
             )
         if prep["receipt_obs"] is not None and self.epoch_mode != "stream":
             # batch mode: the observation fired during the merge/write scan

@@ -377,6 +377,7 @@ def test_auto_binpack_caps_lineage_file_count(spark, tmp_path, monkeypatch):
     exactly-once bookmarks intact."""
     feed = _mk_feed(spark, tmp_path)
     monkeypatch.setenv("STRATUM_BINPACK_EPOCHS", "2")
+    monkeypatch.setenv("STRATUM_META_KEEP", "2")  # make expiry bite at 9 epochs
     ap = CdcApplier(spark, str(tmp_path / "whab"), job_id="m", n_buckets=8,
                     evolution=[], write_mode="mor")
     ap.run_backfill(feed, epoch_size=100)  # 9 epochs
@@ -398,3 +399,13 @@ def test_auto_binpack_caps_lineage_file_count(spark, tmp_path, monkeypatch):
     stats = ap2.run_backfill(feed, epoch_size=100)
     assert all(s.skipped for s in stats)
     assert sorted(r["lsn"] for r in ap2.dlq.read().collect()) == dlq_lsns
+    # maintenance EXPIRES superseded history too, so the pre-pack small
+    # files actually left the disk and the version log is bounded
+    import glob
+    on_disk = glob.glob(os.path.join(ap.lineage.root, "data", "*", "*.parquet"))
+    # bounded: the retained 2 versions reference at most the previous
+    # pack's output + the appends since it (vs 9 per-epoch files unpacked)
+    assert len(on_disk) <= len(files) + 3, on_disk
+    metas = [f for f in os.listdir(os.path.join(ap.lineage.root, "_meta"))
+             if f.startswith("v")]
+    assert len(metas) <= 2 + 2
