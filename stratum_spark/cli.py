@@ -298,6 +298,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    """Bucket-count evolution on the base (tokens) table: metadata-only
+    when the new count is a multiple of the old, full rewrite otherwise."""
+    ap = _applier(args)
+    snap = ap.tokens.snapshot()
+    old = snap.n_buckets
+    v = ap.tokens.rebucket(args.to)
+    mode = "metadata-only" if args.to % old == 0 and args.to != old else (
+        "no-op" if args.to == old else "full rewrite")
+    print(f"tokens: n_buckets {old} -> {args.to} at v{v} ({mode})")
+    return 0
+
+
 def cmd_binpack(args) -> int:
     """Size-aware small-file compaction on every table in the warehouse
     (Iceberg rewrite_data_files binpack analog): coalesce only files under
@@ -516,6 +529,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="fold merge-on-read deltas into the base")
     _add_applier_args(p, "auto")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("rebucket", help="bucket-count evolution on the base table")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--to", type=int, required=True, help="new bucket count")
+    p.set_defaults(fn=cmd_rebucket)
 
     p = sub.add_parser("binpack", help="coalesce small files only (size-aware compaction)")
     _add_applier_args(p, default_mode="auto")

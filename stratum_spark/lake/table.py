@@ -1234,6 +1234,76 @@ class LakeTable:
         )
         self._write_snapshot(new)
 
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Bucket-count evolution (Iceberg partition-spec evolution analog):
+        change the key-hash modulus of a live table when the original
+        n_buckets was mis-sized for the data that actually arrived.
+
+        The scale path is METADATA-ONLY: when new = k x old, pmod refines
+        -- h mod old == b implies h mod new is in {b + j*old, j<k} -- so
+        every existing file's bucket set is remapped to its exact derived
+        set and NOT A BYTE of a (possibly 100 TB) table moves. New writes
+        cluster at the new granularity immediately; old files' pruning
+        granularity catches up as ordinary compaction rewrites them. This
+        mirrors how Iceberg applies a new partition spec to new data only.
+
+        A non-multiple change cannot be derived from the old hash and
+        falls back to a full clustered rewrite (one shuffle, one atomic
+        snapshot) -- still correct, priced honestly.
+
+        Readers/writers derive the modulus from the snapshot
+        (_bucket_expr), so merges, touched-bucket discovery and pruning
+        adopt the new count on their next snapshot read."""
+        import dataclasses
+
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("rebucket requires a merge key (keyless tables "
+                             "have no meaningful bucket identity)")
+        if new_n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if new_n_buckets == snap.n_buckets:
+            return snap.version
+        if new_n_buckets % snap.n_buckets == 0:
+            k = new_n_buckets // snap.n_buckets
+            files = [
+                dataclasses.replace(
+                    e,
+                    buckets=tuple(sorted(
+                        b + j * snap.n_buckets for b in e.buckets for j in range(k)
+                    )),
+                )
+                for e in snap.files
+            ]
+        else:
+            df = self._read_entries(snap.files, snap).withColumn(
+                _BUCKET,
+                F.pmod(
+                    F.xxhash64(F.col(snap.key).cast("string")),
+                    F.lit(new_n_buckets),
+                ).cast("int"),
+            )
+            stats_cols = tuple(sorted(
+                {c for e in snap.files if e.stats for c in e.stats}
+            ))
+            files = self._write_data(
+                df, dataclasses.replace(snap, n_buckets=new_n_buckets),
+                stats_cols=stats_cols,
+            )
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key=snap.key,
+            key_field_id=snap.key_field_id,
+            n_buckets=new_n_buckets,
+            files=files,
+            committed=snap.committed,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new)
+        return new.version
+
     def compact_binpack(
         self,
         small_file_bytes: int = 32 << 20,

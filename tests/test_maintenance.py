@@ -409,3 +409,104 @@ def test_auto_binpack_caps_lineage_file_count(spark, tmp_path, monkeypatch):
     metas = [f for f in os.listdir(os.path.join(ap.lineage.root, "_meta"))
              if f.startswith("v")]
     assert len(metas) <= 2 + 2
+
+
+# ---------------------------------------------------------------------------
+# bucket-count evolution (Iceberg partition-spec evolution analog): growing
+# to a multiple is METADATA-ONLY (pmod refines: h%old==b => h%new in
+# {b+j*old}); non-multiples fall back to a full clustered rewrite.
+# ---------------------------------------------------------------------------
+
+
+def test_rebucket_multiple_is_metadata_only(spark, tmp_path):
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rb"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=4,
+    )
+    t.append(spark.createDataFrame(
+        [(f"d{j}", [j], 1, "s") for j in range(200)],
+        t.snapshot().schema.spark_schema()))
+    snap0 = t.snapshot()
+    paths0 = {e.path for e in snap0.files}
+    before = {r["doc_id"] for r in t.read().collect()}
+
+    v = t.rebucket(16)
+    snap1 = t.snapshot()
+    assert snap1.version == v and snap1.n_buckets == 16
+    # metadata-only: the exact same files, zero data movement
+    assert {e.path for e in snap1.files} == paths0
+    # derived sets: each old bucket b -> {b, b+4, b+8, b+12}
+    by_path0 = {e.path: e.buckets for e in snap0.files}
+    for e in snap1.files:
+        want = tuple(sorted(b + j * 4 for b in by_path0[e.path] for j in range(4)))
+        assert e.buckets == want
+    assert {r["doc_id"] for r in t.read().collect()} == before
+    # pruned reads at the NEW granularity are exact vs the new bucket expr
+    for b in (0, 5, 11, 15):
+        got = {r["doc_id"] for r in t.read_buckets([b]).collect()}
+        want = {r["doc_id"] for r in t.read().withColumn(
+            "__b", t._bucket_expr("doc_id")).where(F.col("__b") == b).collect()}
+        assert got >= want
+    # a MERGE after rebucket works and prunes on the new ids
+    up = spark.createDataFrame(
+        [("d0", [99], 1, "s", "U")],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string")
+    m = t.merge(up, op_col="op", job_id="r", epoch=0)
+    assert m.rows_updated == 1
+    got = next(r for r in t.read().collect() if r["doc_id"] == "d0")
+    assert list(got["tokens"]) == [99]
+
+
+def test_rebucket_non_multiple_full_rewrite(spark, tmp_path):
+    from stratum_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rb2"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=4,
+    )
+    t.append(spark.createDataFrame(
+        [(f"d{j}", [j], 1, "s") for j in range(100)],
+        t.snapshot().schema.spark_schema()))
+    paths0 = {e.path for e in t.snapshot().files}
+    before = {r["doc_id"] for r in t.read().collect()}
+    t.rebucket(6)
+    snap = t.snapshot()
+    assert snap.n_buckets == 6
+    assert not paths0 & {e.path for e in snap.files}  # rewritten
+    assert {r["doc_id"] for r in t.read().collect()} == before
+    # keyless tables refuse
+    import pytest
+    tk = LakeTable.create(spark, str(tmp_path / "rb3"), "a int", n_buckets=2)
+    with pytest.raises(ValueError, match="merge key"):
+        tk.rebucket(4)
+
+
+def test_rebucket_midway_through_cdc_converges(spark, tmp_path, capsys):
+    """Backfill half the feed at 8 buckets, rebucket the base table to 32
+    via the CLI (metadata-only), resume the rest with a fresh applier:
+    replay must converge to the sequential oracle (cow mode so every epoch
+    exercises the bucket-pruned MERGE at the new count)."""
+    feed = _mk_feed(spark, tmp_path)
+    wh = str(tmp_path / "whrb")
+    ap = CdcApplier(spark, wh, job_id="r", n_buckets=8, evolution=[],
+                    write_mode="cow", n_events_hint=N_EVENTS)
+    ap.run_backfill(feed, epoch_size=300, stop_after=2)  # epochs 0-1 of 3
+
+    assert main(["rebucket", "--warehouse", wh, "--job-id", "r",
+                 "--write-mode", "cow", "--to", "32"]) == 0
+    out = capsys.readouterr().out
+    assert "8 -> 32" in out and "metadata-only" in out
+
+    ap2 = CdcApplier(spark, wh, job_id="r", n_buckets=8, evolution=[],
+                     write_mode="cow", n_events_hint=N_EVENTS)
+    assert ap2.tokens.snapshot().n_buckets == 32
+    ap2.run_backfill(feed, epoch_size=300)
+    got = _rows(ap2.state())
+    oracle = state_as_records(replay_binlog(feed), table_schema_ver=0)
+    assert set(got) == set(oracle)
+    for k, w in oracle.items():
+        assert got[k]["tokens"] == list(w["tokens"]), k
