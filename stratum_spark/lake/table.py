@@ -980,7 +980,23 @@ class LakeTable:
             properties=snap.properties,
         )
         self._write_snapshot(new)
-        row = obs.get
+        try:
+            row = obs.get
+        except Exception:
+            # AQE's empty-relation propagation elides a CollectMetrics that
+            # sits below a shuffle whose map output is EMPTY -- i.e. a merge
+            # whose batch deletes every surviving row of the touched buckets
+            # (found by the maintenance ops-fuzz; reproduced standalone:
+            # observe -> filter-to-empty -> repartition -> write loses the
+            # observation, the same chain without the repartition does not).
+            # Recompute the same three aggregates with one explicit job;
+            # the inputs are still on disk (old files are unreferenced by
+            # the new snapshot, never deleted) and the corner is rare.
+            row = joined.agg(
+                F.sum((src_only & ~is_del).cast("long")).alias("ins"),
+                F.sum((matched & ~is_del & ~stale).cast("long")).alias("upd"),
+                F.sum((matched & is_del & ~stale).cast("long")).alias("dele"),
+            ).collect()[0].asDict()
         ins, upd, dele = (row.get("ins") or 0), (row.get("upd") or 0), (row.get("dele") or 0)
         if mode == "update":
             ins = 0

@@ -510,3 +510,71 @@ def test_rebucket_midway_through_cdc_converges(spark, tmp_path, capsys):
     assert set(got) == set(oracle)
     for k, w in oracle.items():
         assert got[k]["tokens"] == list(w["tokens"]), k
+
+
+def test_lake_maintenance_ops_fuzz(spark, tmp_path):
+    """Seeded ops-fuzz over the WHOLE maintenance surface: random
+    interleavings of MERGE (I/U/D), bin-pack, whole-bucket compaction,
+    bucket-count evolution (multiples and non-multiples), rollback and
+    snapshot expiry -- after every op the table content must equal a
+    pure-Python model (and rollback must restore the model recorded at
+    the target version). The maintenance ops are content-invariant by
+    contract; this is the test that holds them to it under composition."""
+    import random
+    from stratum_spark.lake.table import LakeTable
+
+    up_schema = ("doc_id string, tokens array<int>, n_tok int, "
+                 "source string, op string")
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = LakeTable.create(
+            spark, str(tmp_path / f"fz{seed}"),
+            "doc_id string, tokens array<int>, n_tok int, source string",
+            key="doc_id", n_buckets=4,
+        )
+        model: dict[str, list[int]] = {}
+        content_at: dict[int, dict] = {t.snapshot().version: dict(model)}
+        next_doc = 0
+        for step in range(14):
+            op = rng.choice(["merge", "merge", "merge", "binpack", "compact",
+                             "rebucket", "rollback", "expire"])
+            if op == "merge":
+                rows = []
+                for _ in range(rng.randint(2, 10)):
+                    kind = rng.choice(["I", "U", "D"])
+                    if kind == "I" or not model:
+                        doc, kind = f"d{next_doc}", "I"
+                        next_doc += 1
+                    else:
+                        doc = rng.choice(sorted(model))
+                    toks = [rng.randint(0, 99) for _ in range(rng.randint(1, 5))]
+                    rows.append((doc, toks, len(toks), "s", kind))
+                    if kind == "D":
+                        model.pop(doc, None)
+                    else:
+                        model[doc] = toks
+                # last-in-batch wins in the model; dedupe the batch to match
+                seen = {}
+                for r in rows:
+                    seen[r[0]] = r
+                t.merge(spark.createDataFrame(list(seen.values()), up_schema),
+                        op_col="op", job_id=f"f{seed}", epoch=step)
+            elif op == "binpack":
+                t.compact_binpack(small_file_bytes=1 << 20)
+            elif op == "compact":
+                t.compact(target_files_per_bucket=1)
+            elif op == "rebucket":
+                cur = t.snapshot().n_buckets
+                t.rebucket(rng.choice([c for c in (4, 6, 8, 12) if c != cur]))
+            elif op == "rollback":
+                versions = [s.version for s in t.history()]
+                v = rng.choice(versions[:-1]) if len(versions) > 1 else versions[0]
+                if v in content_at:
+                    t.rollback(v)
+                    model = dict(content_at[v])
+            elif op == "expire":
+                t.expire_snapshots(keep_last=rng.randint(4, 8))
+            got = {r["doc_id"]: list(r["tokens"] or []) for r in t.read().collect()}
+            assert got == model, f"seed {seed} step {step} op {op}"
+            content_at[t.snapshot().version] = dict(model)
