@@ -210,6 +210,60 @@ def _parquet_footer(
     return md.num_rows, bounds, size
 
 
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _bounds_exclude(bounds: tuple, op: str, value) -> bool:
+    """True when a file with column (min, max) = bounds provably contains
+    NO row satisfying `col op value` -- the file can be skipped without
+    being opened. NULLs never satisfy a comparison predicate, so a file
+    whose only matches would be nulls is correctly skippable. Incomparable
+    types (stats recorded under an old physical type) keep the file:
+    a prune may only drop what it can prove irrelevant."""
+    mn, mx = bounds
+    try:
+        if op in ("=", "=="):
+            return bool(value < mn or value > mx)
+        if op == "<":
+            return bool(mn >= value)
+        if op == "<=":
+            return bool(mn > value)
+        if op == ">":
+            return bool(mx <= value)
+        if op == ">=":
+            return bool(mx < value)
+    except TypeError:
+        return False
+    return False
+
+
+def prune_entries(
+    entries: list["FileEntry"], filters: list[tuple]
+) -> list["FileEntry"]:
+    """Manifest-stats file skipping (Iceberg min/max metrics-based file
+    pruning analog): drop every file whose recorded column bounds prove it
+    cannot satisfy the conjunction of `(col, op, value)` filters. Files
+    with no recorded bounds for a filtered column are kept -- the prune is
+    a pure superset-preserving optimization, never a correctness gate.
+    Driver-side O(files) over the manifest; zero file opens, zero jobs."""
+    for col, op, _ in filters:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r} on {col!r}; "
+                             f"supported: {_PRUNE_OPS}")
+    out = []
+    for e in entries:
+        skip = False
+        if e.stats:
+            for col, op, value in filters:
+                b = e.stats.get(col)
+                if b is not None and _bounds_exclude(b, op, value):
+                    skip = True
+                    break
+        if not skip:
+            out.append(e)
+    return out
+
+
 class LakeTable:
     """Handle to a lake table rooted at a local/posix directory.
 
@@ -419,6 +473,59 @@ class LakeTable:
         bs = set(buckets)
         return self._read_entries([e for e in snap.files if bs.intersection(e.buckets)], snap)
 
+    def scan_files(
+        self, filters: list[tuple] | None = None, version: int | None = None
+    ) -> list[FileEntry]:
+        """The file entries a scan(filters) would read, after manifest-
+        stats pruning. Exposed so callers (and lineage) can see exactly
+        what the prune bought before any I/O happens."""
+        snap = self.snapshot(version)
+        return prune_entries(snap.files, filters or [])
+
+    def scan(
+        self, filters: list[tuple] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Filtered read with manifest-stats file skipping (the Iceberg
+        min/max metrics-pruning analog; beyond-reference lake surface like
+        read_changes -- the reference's nearest behavior is the keyset
+        snapshot reader bounding each page by a PK range). `filters` is a
+        conjunction of (col, op, value), op in =,==,<,<=,>,>=.
+
+        Scale path: on a 10^10-row table whose manifests record lsn (the
+        CDC delta path already does, via the footer pass the row counts
+        need anyway) or any property-declared stats column, a range query
+        opens ONLY the files whose (min, max) intersect the predicate --
+        the prune is metadata-only, O(files) on the driver, zero jobs.
+        The same predicate is then applied in Spark on the surviving
+        files (pushed to the parquet row-group reader by Catalyst), so
+        results are exact whether or not any file has stats."""
+        snap = self.snapshot(version)
+        entries = prune_entries(snap.files, filters or [])
+        df = self._read_entries(entries, snap)
+        for col, op, value in filters or []:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == value, "==": c == value, "<": c < value,
+                 "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+            )
+        return df
+
+    def snapshot_at(self, ts_ms: int) -> Snapshot:
+        """Time travel: the latest snapshot committed at or before ts_ms
+        (Iceberg `FOR SYSTEM_TIME AS OF` analog). Raises if the table has
+        no snapshot that old."""
+        best: Snapshot | None = None
+        for s in self.history():
+            if s.timestamp_ms <= ts_ms and (best is None or s.version > best.version):
+                best = s
+        if best is None:
+            raise ValueError(f"no snapshot at or before timestamp {ts_ms}")
+        return best
+
+    def read_as_of(self, ts_ms: int) -> DataFrame:
+        """Read the table as of a wall-clock commit timestamp."""
+        return self.read(version=self.snapshot_at(ts_ms).version)
+
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
         """Hash buckets whose FILE SET differs between two snapshot
         versions. Snapshots share immutable files, so a bucket covered by
@@ -552,6 +659,18 @@ class LakeTable:
                 m.setdefault(int(r["p"]), []).append(int(r["b"]))
             cache[key] = {p: tuple(sorted(bs)) for p, bs in m.items()}
         return cache[key]
+
+    def _stats_cols(
+        self, snap: Snapshot, extra: tuple[str, ...] = ()
+    ) -> tuple[str, ...]:
+        """Columns whose (min, max) bounds the footer pass should record,
+        from the `stats.columns` table property (comma-separated) plus any
+        caller-required columns (the CDC delta path always records lsn).
+        Recording costs nothing extra -- the manifest row-count pass reads
+        the same footer -- and buys scan()-time file skipping."""
+        prop = snap.properties.get("stats.columns", "")
+        cols = tuple(c.strip() for c in prop.split(",") if c.strip())
+        return tuple(dict.fromkeys(cols + tuple(extra)))
 
     def _write_data(
         self,
@@ -689,7 +808,7 @@ class LakeTable:
             aligned = aligned.withColumn(
                 _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
             )
-        entries = self._write_data(aligned, snap)
+        entries = self._write_data(aligned, snap, stats_cols=self._stats_cols(snap))
         if not entries:
             return 0  # empty append: no snapshot churn
         self._append_files_with_retry(entries)
@@ -720,7 +839,10 @@ class LakeTable:
                     _BUCKET,
                     F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int"),
                 )
-        return self._write_data(aligned, snap, clustered=clustered, stats_cols=stats_cols)
+        return self._write_data(
+            aligned, snap, clustered=clustered,
+            stats_cols=self._stats_cols(snap, stats_cols),
+        )
 
     def commit_epoch_files(
         self,
@@ -806,7 +928,7 @@ class LakeTable:
             aligned = aligned.withColumn(
                 _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
             )
-        entries = self._write_data(aligned, snap)
+        entries = self._write_data(aligned, snap, stats_cols=self._stats_cols(snap))
         new = Snapshot(
             version=snap.version + 1,
             schema_id=snap.schema_id,
@@ -957,7 +1079,7 @@ class LakeTable:
             F.col(_BUCKET),
         )
 
-        entries = self._write_data(result, snap)
+        entries = self._write_data(result, snap, stats_cols=self._stats_cols(snap))
         touched_set = set(touched)
         kept_files = [e for e in snap.files if not touched_set.intersection(e.buckets)]
         committed = dict(snap.committed)
@@ -1235,7 +1357,10 @@ class LakeTable:
             df = df.withColumn(
                 _BUCKET, F.pmod(F.monotonically_increasing_id(), F.lit(snap.n_buckets)).cast("int")
             )
-        entries = self._write_data(df, snap)
+        stats_cols = self._stats_cols(
+            snap, tuple(sorted({c for e in snap.files if e.stats for c in e.stats}))
+        )
+        entries = self._write_data(df, snap, stats_cols=stats_cols)
         todo_set = set(todo)
         new = Snapshot(
             version=snap.version + 1,
@@ -1299,9 +1424,9 @@ class LakeTable:
                     F.lit(new_n_buckets),
                 ).cast("int"),
             )
-            stats_cols = tuple(sorted(
+            stats_cols = self._stats_cols(snap, tuple(sorted(
                 {c for e in snap.files if e.stats for c in e.stats}
-            ))
+            )))
             files = self._write_data(
                 df, dataclasses.replace(snap, n_buckets=new_n_buckets),
                 stats_cols=stats_cols,

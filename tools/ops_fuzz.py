@@ -1,0 +1,109 @@
+"""Extended maintenance ops-fuzz: the tests/test_maintenance.py ops-fuzz
+with many more seeds and steps, run standalone so the shakeout can go deep
+without inflating the CI suite's wall time.
+
+Random interleavings of MERGE (I/U/D), bin-pack, whole-bucket compaction,
+bucket-count evolution, rollback and snapshot expiry; after every op the
+table content must equal a pure-Python model. Usage:
+
+    python tools/ops_fuzz.py [--seeds 11,13,17,...] [--steps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stratum_spark.lake.table import LakeTable  # noqa: E402
+from stratum_spark.session import get_spark  # noqa: E402
+
+UP_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, "
+             "source string, op string")
+
+
+def run_seed(spark, root: str, seed: int, steps: int) -> None:
+    rng = random.Random(seed)
+    t = LakeTable.create(
+        spark, os.path.join(root, f"fz{seed}"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+        key="doc_id", n_buckets=4,
+    )
+    model: dict[str, list[int]] = {}
+    content_at: dict[int, dict] = {t.snapshot().version: dict(model)}
+    next_doc = 0
+    for step in range(steps):
+        op = rng.choice(["merge", "merge", "merge", "binpack", "compact",
+                         "rebucket", "rollback", "expire"])
+        if op == "merge":
+            rows = []
+            for _ in range(rng.randint(2, 12)):
+                kind = rng.choice(["I", "U", "D"])
+                if kind == "I" or not model:
+                    doc, kind = f"d{next_doc}", "I"
+                    next_doc += 1
+                else:
+                    doc = rng.choice(sorted(model))
+                toks = [rng.randint(0, 99) for _ in range(rng.randint(1, 5))]
+                rows.append((doc, toks, len(toks), "s", kind))
+                if kind == "D":
+                    model.pop(doc, None)
+                else:
+                    model[doc] = toks
+            seen = {}
+            for r in rows:
+                seen[r[0]] = r
+            t.merge(spark.createDataFrame(list(seen.values()), UP_SCHEMA),
+                    op_col="op", job_id=f"f{seed}", epoch=step)
+        elif op == "binpack":
+            t.compact_binpack(small_file_bytes=1 << 20)
+        elif op == "compact":
+            t.compact(target_files_per_bucket=1)
+        elif op == "rebucket":
+            cur = t.snapshot().n_buckets
+            t.rebucket(rng.choice([c for c in (4, 6, 8, 12) if c != cur]))
+        elif op == "rollback":
+            versions = [s.version for s in t.history()]
+            v = rng.choice(versions[:-1]) if len(versions) > 1 else versions[0]
+            if v in content_at:
+                t.rollback(v)
+                model = dict(content_at[v])
+        elif op == "expire":
+            t.expire_snapshots(keep_last=rng.randint(4, 8))
+        got = {r["doc_id"]: list(r["tokens"] or []) for r in t.read().collect()}
+        assert got == model, (
+            f"MISMATCH seed {seed} step {step} op {op}: "
+            f"{len(got)} rows vs model {len(model)}"
+        )
+        content_at[t.snapshot().version] = dict(model)
+    print(f"seed {seed}: {steps} steps OK "
+          f"({len(model)} live docs, v{t.snapshot().version})", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="3,11,31,47,59,101,211,307")
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+    spark = get_spark("ops_fuzz", shuffle_partitions=8)
+    root = tempfile.mkdtemp(prefix="opsfuzz_")
+    t0 = time.time()
+    try:
+        for seed in seeds:
+            run_seed(spark, root, seed, args.steps)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(f"ALL OK: {len(seeds)} seeds x {args.steps} steps "
+          f"in {time.time() - t0:.1f}s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
