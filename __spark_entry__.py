@@ -538,6 +538,44 @@ def _q_cdc_incremental_read(spark, sf):
     )
 
 
+def _q_lake_scan_prune(spark, sf):
+    """Manifest-stats file skipping (Iceberg min/max metrics-pruning
+    analog) under the driver gate: the no-evolution gate binlog appended
+    to a `stats.columns=lsn` LakeTable in four lsn-range slices (so the
+    manifest records tight per-file lsn bounds), then the CDC-consumer
+    catch-up read `scan([('lsn','>',300)])`. The prune is driver-side
+    O(files) metadata only -- the query itself asserts the pruned file
+    list is a strict subset (so the gate fails if the prune ever stops
+    engaging) -- and the surviving files are re-filtered in Spark, so the
+    result is exact either way. Oracle: the same predicate over the same
+    binlog parquet in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.lake.table import LakeTable
+
+    binlog = _cdc_gate_binlog(spark, "binlog_noevo", _CDC_GATE_NOEVO_PARAMS)
+    root = _tempfile.mkdtemp(prefix="cdc_gate_whs_")
+    t = LakeTable.create(
+        spark, f"{root}/t",
+        "lsn bigint, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+        n_buckets=4, properties={"stats.columns": "lsn"},
+    )
+    ev = spark.read.parquet(binlog).select(
+        "lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    for lo, hi in ((1, 150), (151, 300), (301, 450), (451, 600)):
+        t.append(ev.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi)))
+    filt = [("lsn", ">", 300)]
+    n_all, n_kept = len(t.snapshot().files), len(t.scan_files(filt))
+    if not n_kept < n_all:
+        raise AssertionError(
+            f"manifest-stats prune did not engage: {n_kept}/{n_all} files")
+    return t.scan(filt).orderBy("lsn", "doc_id", "op").select(
+        "lsn", "op", "doc_id", "n_tok", "source",
+        F.element_at("tokens", 1).alias("tok0"),
+    )
+
+
 def _q_fk_auto_join(spark, sf):
     """§2.4 join-graph BFS: the join PATH and ON conditions are derived
     from FK metadata alone (plans/joingraph.py, the reference's
@@ -625,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_end_to_end": _q_cdc_end_to_end,
         "cdc_end_to_end_packed": _q_cdc_end_to_end_packed,
         "cdc_incremental_read": _q_cdc_incremental_read,
+        "lake_scan_prune": _q_lake_scan_prune,
     }
 
 
@@ -949,5 +988,14 @@ def oracle_sql() -> dict[str, str]:
         "a.tokens[1] AS tok0 FROM a LEFT JOIN b ON a.doc_id = b.doc_id "
         "WHERE b.doc_id IS NULL"
         ") ORDER BY doc_id"
+    )
+    # lake_scan_prune: the Spark side appends the SAME binlog parquet to a
+    # stats.columns=lsn LakeTable in four lsn slices and reads it back
+    # through the manifest-stats pruned scan (asserting files were in fact
+    # skipped); the logical result is just the filtered binlog.
+    out["lake_scan_prune"] = (
+        f"SELECT lsn, op, doc_id, n_tok, source, tokens[1] AS tok0 "
+        f"FROM read_parquet('{_CDC_GATE_ROOT}/binlog_noevo/chunk-*.parquet') "
+        "WHERE lsn > 300 ORDER BY lsn, doc_id, op"
     )
     return out

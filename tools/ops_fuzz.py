@@ -34,6 +34,9 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
         spark, os.path.join(root, f"fz{seed}"),
         "doc_id string, tokens array<int>, n_tok int, source string",
         key="doc_id", n_buckets=4,
+        properties={"stats.columns": "n_tok"},  # every write path records
+        # bounds, so the sweep also shakes out stats recording + pruning
+        # under arbitrary maintenance interleavings
     )
     model: dict[str, list[int]] = {}
     content_at: dict[int, dict] = {t.snapshot().version: dict(model)}
@@ -82,8 +85,19 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
             f"{len(got)} rows vs model {len(model)}"
         )
         content_at[t.snapshot().version] = dict(model)
+    # end-of-seed: manifest-stats pruned scan must stay exact for every
+    # predicate after any interleaving of rewrites (prune is superset-
+    # preserving; the Spark-side re-filter guarantees exactness)
+    for thresh in (1, 3, 5):
+        got_scan = {r["doc_id"] for r in t.scan([("n_tok", ">=", thresh)]).collect()}
+        want = {d for d, toks in model.items() if len(toks) >= thresh}
+        assert got_scan == want, (
+            f"SCAN MISMATCH seed {seed} thresh {thresh}: "
+            f"{len(got_scan)} vs {len(want)}"
+        )
     print(f"seed {seed}: {steps} steps OK "
-          f"({len(model)} live docs, v{t.snapshot().version})", flush=True)
+          f"({len(model)} live docs, v{t.snapshot().version}, scans exact)",
+          flush=True)
 
 
 def main() -> int:
