@@ -505,6 +505,32 @@ def _q_cdc_end_to_end_packed(spark, sf):
     )
 
 
+def _q_cdc_end_to_end_stream(spark, sf):
+    """The Structured-Streaming ingest path (the north star's 'tail the
+    binlog feed') under the driver gate: readStream over the SAME gate
+    binlog directory, one chunk per micro-batch (maxFilesPerTrigger=1,
+    availableNow drain), foreachBatch -> the same
+    validate -> DLQ -> LWW -> exactly-once MERGE applier, batch receipts
+    persisted per micro-batch. The final table state is hash-gated against
+    the IDENTICAL DuckDB LWW-replay oracle as cdc_end_to_end -- proving
+    batch backfill and streaming tail converge to the same state on the
+    same feed (the reference's cursor-resume invariant, exercised through
+    Spark's offset-log/commit-log checkpoint instead)."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.cdc import CdcApplier
+    from stratum_spark.streaming import run_stream_until_idle
+
+    binlog = _cdc_gate_binlog(spark)
+    wh = _tempfile.mkdtemp(prefix="cdc_gate_whst_")
+    ap = CdcApplier(spark, f"{wh}/wh", job_id="gates", n_buckets=4,
+                    n_events_hint=_CDC_GATE_PARAMS["n_events"])
+    run_stream_until_idle(ap, binlog, f"{wh}/ckpt", max_files_per_trigger=1)
+    return ap.state().orderBy("doc_id").select(
+        "doc_id", "n_tok", "corpus", "lang", F.element_at("tokens", 1).alias("tok0")
+    )
+
+
 def _q_cdc_incremental_read(spark, sf):
     """Incremental changes-between-snapshots read (Iceberg incremental read
     / Delta Change Data Feed analog) under the driver gate: the
@@ -662,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "cdc_end_to_end": _q_cdc_end_to_end,
         "cdc_end_to_end_packed": _q_cdc_end_to_end_packed,
+        "cdc_end_to_end_stream": _q_cdc_end_to_end_stream,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "lake_scan_prune": _q_lake_scan_prune,
     }
@@ -958,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
     # the packed storage mode must be INVISIBLE at the user-facing read:
     # same logical result, same oracle
     out["cdc_end_to_end_packed"] = out["cdc_end_to_end"]
+    # ... and so must the streaming tail of the same feed (batch backfill
+    # and streaming ingest converge to the identical final state)
+    out["cdc_end_to_end_stream"] = out["cdc_end_to_end"]
     # cdc_incremental_read: diff of the two LWW replay states of the SAME
     # no-evolution gate binlog (epoch 1 = lsn <= 300, run_backfill's
     # epoch slicing, vs the full replay). A key present only in B is an
