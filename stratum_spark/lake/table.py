@@ -473,14 +473,36 @@ class LakeTable:
         bs = set(buckets)
         return self._read_entries([e for e in snap.files if bs.intersection(e.buckets)], snap)
 
+    def _key_equality_bucket(self, snap: "Snapshot", filters: list[tuple]) -> int | None:
+        """If a filter pins the merge key with equality, the one hash
+        bucket that key can live in -- computed driver-side with the
+        pure-Python XXH64 (bit-identical to _bucket_expr; differential-
+        tested), zero jobs. None when no key or no key-equality filter."""
+        if not snap.key:
+            return None
+        for col, op, value in filters:
+            if col == snap.key and op in ("=", "=="):
+                from stratum_spark.functions.xxh64 import key_bucket
+
+                return key_bucket(value, snap.n_buckets)
+        return None
+
     def scan_files(
         self, filters: list[tuple] | None = None, version: int | None = None
     ) -> list[FileEntry]:
         """The file entries a scan(filters) would read, after manifest-
-        stats pruning. Exposed so callers (and lineage) can see exactly
-        what the prune bought before any I/O happens."""
+        stats pruning AND (for key-equality predicates on a keyed table)
+        hash-bucket pruning. Exposed so callers (and lineage) can see
+        exactly what the prune bought before any I/O happens."""
         snap = self.snapshot(version)
-        return prune_entries(snap.files, filters or [])
+        filters = filters or []
+        entries = snap.files
+        kb = self._key_equality_bucket(snap, filters)
+        if kb is not None:
+            # a file with an empty bucket set is unknown-coverage: keep it
+            # (the prune must stay superset-preserving)
+            entries = [e for e in entries if not e.buckets or kb in e.buckets]
+        return prune_entries(entries, filters)
 
     def scan(
         self, filters: list[tuple] | None = None, version: int | None = None
@@ -496,11 +518,15 @@ class LakeTable:
         need anyway) or any property-declared stats column, a range query
         opens ONLY the files whose (min, max) intersect the predicate --
         the prune is metadata-only, O(files) on the driver, zero jobs.
+        A key-equality predicate on a keyed table additionally prunes to
+        the single hash bucket the key can live in (driver-side XXH64,
+        still zero jobs) -- a point lookup on a 100 TB table reads
+        1/n_buckets of the manifest's files before stats even apply.
         The same predicate is then applied in Spark on the surviving
         files (pushed to the parquet row-group reader by Catalyst), so
         results are exact whether or not any file has stats."""
         snap = self.snapshot(version)
-        entries = prune_entries(snap.files, filters or [])
+        entries = self.scan_files(filters, version=snap.version)
         df = self._read_entries(entries, snap)
         for col, op, value in filters or []:
             c = F.col(col)
@@ -509,6 +535,17 @@ class LakeTable:
                  "<=": c <= value, ">": c > value, ">=": c >= value}[op]
             )
         return df
+
+    def lookup(self, value, version: int | None = None) -> DataFrame:
+        """Point lookup by merge key: bucket-pruned + stats-pruned scan of
+        `key = value`. On a keyed table this opens only the one bucket's
+        files (minus any the key-column stats exclude) -- the O(1)-ish
+        read path a CDC consumer uses to fetch a single document's current
+        row without touching the other n_buckets-1/n_buckets of the table."""
+        snap = self.snapshot(version)
+        if not snap.key:
+            raise ValueError(f"lookup requires a keyed table ({self.root})")
+        return self.scan([(snap.key, "=", value)], version=snap.version)
 
     def snapshot_at(self, ts_ms: int) -> Snapshot:
         """Time travel: the latest snapshot committed at or before ts_ms
@@ -786,9 +823,20 @@ class LakeTable:
             arrays.append(pa.array(vals, type=pa_type))
         path = os.path.join(out_dir, "part-00000-local.parquet")
         pq.write_table(pa.table(dict(zip(names, arrays))), path)
+        if snap.key:
+            # exact bucket set via the driver-side XXH64 (bit-identical to
+            # _bucket_expr), so key-bucket pruning stays sound for keyed
+            # tables fed through this path
+            from stratum_spark.functions.xxh64 import key_bucket
+
+            bks = tuple(sorted({
+                key_bucket(r.get(snap.key), snap.n_buckets) for r in rows
+            }))
+        else:
+            bks = (0,)
         entry = FileEntry(
             path=os.path.join(rel_dir, "part-00000-local.parquet"),
-            buckets=(0,),
+            buckets=bks,
             schema_id=snap.schema_id,
             rows=len(rows),
             size_bytes=os.path.getsize(path),

@@ -161,3 +161,72 @@ def test_snapshot_at_time_travel(spark, tmp_path):
     assert t.read_as_of(v2.timestamp_ms).count() == 10
     with pytest.raises(ValueError):
         t.snapshot_at(v1.timestamp_ms - 100000)
+
+
+def test_xxh64_bit_identical_to_spark(spark):
+    """The driver-side XXH64 must match F.xxhash64 exactly -- adversarial
+    lengths cover every tail branch (empty, <4, <8, 8..31, 32+, unicode)."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.functions.xxh64 import key_bucket, xxhash64_signed
+
+    cases = ["", "a", "abc", "doc-00000042", "x" * 7, "y" * 8, "z" * 9,
+             "q" * 15, "w" * 31, "v" * 32, "u" * 33, "t" * 40,
+             "héllo wörld ünïcode", "日本語テスト", "doc-" + "9" * 60]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64(F.col("s").cast("string")).alias("h"),
+        F.pmod(F.xxhash64(F.col("s").cast("string")), F.lit(8)).cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxhash64_signed(r["s"].encode("utf-8")) == r["h"], r["s"]
+        assert key_bucket(r["s"], 8) == r["b"], r["s"]
+
+
+def test_lookup_prunes_to_single_bucket(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.append(_batch(spark, 1, 81))
+    snap = t.snapshot()
+    pruned = t.scan_files([("doc_id", "=", "d7")])
+    assert pruned and len(pruned) < len(snap.files)
+    got = t.lookup("d7").collect()
+    assert len(got) == 1 and got[0]["n_tok"] == 7
+    assert t.lookup("absent-key").count() == 0
+
+
+def test_lookup_exact_after_metadata_rebucket(spark, tmp_path):
+    """Metadata-only bucket growth remaps each file's bucket set to its
+    derived set; lookups must keep finding every key under the new
+    modulus."""
+    t = _mk(spark, tmp_path / "t")
+    t.append(_batch(spark, 1, 41))
+    t.rebucket(8)
+    for i in (1, 13, 27, 40):
+        got = t.lookup(f"d{i}").collect()
+        assert len(got) == 1 and got[0]["n_tok"] == i
+
+
+def test_scan_key_equality_on_keyless_table_stays_exact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "k", key=None)
+    t.append(_batch(spark, 1, 5))
+    with pytest.raises(ValueError):
+        t.lookup("d1")
+    assert [r["n_tok"] for r in t.scan([("doc_id", "=", "d3")]).collect()] == [3]
+
+
+def test_append_local_records_key_buckets(spark, tmp_path):
+    """append_local on a keyed table must record the exact bucket set so
+    key-bucket pruning never misses its rows."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "kl"), "doc_id string, n int",
+        key="doc_id", n_buckets=4,
+    )
+    t.append_local([{"doc_id": "a", "n": 1}, {"doc_id": "b", "n": 2}])
+    e = t.snapshot().files[-1]
+    from stratum_spark.functions.xxh64 import key_bucket
+
+    want = {key_bucket("a", 4), key_bucket("b", 4)}
+    assert set(e.buckets) == want
+    got = t.lookup("a").collect()
+    assert len(got) == 1 and got[0]["n"] == 1

@@ -95,6 +95,14 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
             f"SCAN MISMATCH seed {seed} thresh {thresh}: "
             f"{len(got_scan)} vs {len(want)}"
         )
+    # ... and key-bucket-pruned point lookups must find exactly the model
+    # row for live docs (bucket sets stay sound across every rewrite op)
+    for doc in sorted(model)[:3]:
+        got_rows = t.lookup(doc).collect()
+        assert len(got_rows) == 1 and got_rows[0]["tokens"] == model[doc], (
+            f"LOOKUP MISMATCH seed {seed} doc {doc}"
+        )
+    assert t.lookup("never-a-doc").count() == 0
     print(f"seed {seed}: {steps} steps OK "
           f"({len(model)} live docs, v{t.snapshot().version}, scans exact)",
           flush=True)
