@@ -734,7 +734,24 @@ class LakeTable:
             nparts = max(
                 1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")), snap.n_buckets)
             )
-            out_df = df.repartition(nparts, F.col(_BUCKET)).drop(_BUCKET)
+            out_df = df.repartition(nparts, F.col(_BUCKET))
+            # sort.columns property (Iceberg sort-order analog): cluster
+            # rows within each task by (bucket, sort cols) so parquet
+            # row-group and manifest min/max bounds come out tight --
+            # range scans on the sorted column then prune harder. Applied
+            # to CLUSTERED writes only (append/merge/compact/rebucket);
+            # the unclustered delta hot path keeps its natural
+            # partitioning (no sort on the epoch critical path). Columns
+            # not present in this write's schema are skipped: the sort is
+            # a best-effort layout optimization, never a correctness gate.
+            sort_cols = [
+                c.strip()
+                for c in snap.properties.get("sort.columns", "").split(",")
+                if c.strip() and c.strip() in df.columns
+            ]
+            if sort_cols:
+                out_df = out_df.sortWithinPartitions(_BUCKET, *sort_cols)
+            out_df = out_df.drop(_BUCKET)
         else:
             out_df = df
         out_df.write.mode("error").parquet(out_dir)

@@ -230,3 +230,31 @@ def test_append_local_records_key_buckets(spark, tmp_path):
     assert set(e.buckets) == want
     got = t.lookup("a").collect()
     assert len(got) == 1 and got[0]["n"] == 1
+
+
+def test_sort_columns_clusters_compaction_output(spark, tmp_path):
+    """sort.columns (Iceberg sort-order analog): compaction rewrites come
+    out physically sorted by the declared column, so parquet row-group
+    and manifest bounds are tight; scans stay exact."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=1,
+        properties={"stats.columns": "n_tok", "sort.columns": "n_tok"},
+    )
+    # interleaved ranges across appends -> unsorted input to compaction
+    t.append(_batch(spark, 50, 100, prefix="a"))
+    t.append(_batch(spark, 1, 50, prefix="b"))
+    t.append(_batch(spark, 100, 150, prefix="c"))
+    t.compact(target_files_per_bucket=1)
+    snap = t.snapshot()
+    import os as _os
+
+    for e in snap.files:
+        vals = pq.read_table(
+            _os.path.join(t.root, e.path), columns=["n_tok"]
+        )["n_tok"].to_pylist()
+        assert vals == sorted(vals), f"file {e.path} not sorted"
+        assert e.stats["n_tok"] == (min(vals), max(vals))
+    got = sorted(r["n_tok"] for r in t.scan([("n_tok", "<", 30)]).collect())
+    assert got == list(range(1, 30))
