@@ -1754,6 +1754,30 @@ class CdcApplier:
         )
         return merged.where(F.col("op") != "D").drop("op")
 
+    def lookup(self, doc_id) -> DataFrame:
+        """Point lookup of one document's CURRENT row -- same user-facing
+        semantics as state() restricted to the key, priced for 100 TB:
+        cow reads only the one hash bucket's files (LakeTable.lookup:
+        driver-side XXH64 bucket prune + key stats prune, zero jobs
+        before the read); mor additionally scans the (compaction-bounded)
+        delta set with the key predicate pushed to the parquet reader and
+        resolves by the writer's own LWW rule, so an uncompacted delete
+        or update is visible immediately."""
+        if self.write_mode != "mor":
+            out = self.tokens.lookup(doc_id).drop("lsn")
+        else:
+            base = self.tokens.lookup(doc_id).withColumn("op", F.lit("U"))
+            dd = self.deltas.read().where(F.col("doc_id") == doc_id)
+            merged = lww_dedup(
+                base.unionByName(dd), key="doc_id", order_col="lsn"
+            )
+            out = merged.where(F.col("op") != "D").drop("op", "lsn")
+        if self.tokens_packed:
+            from stratum_spark.functions.pack import unpack_tokens
+
+            out = unpack_tokens(out, "tokens")
+        return out
+
     def remove_orphans(self, grace_sec: float = 3600.0) -> dict:
         """Sweep orphaned (written-but-never-committed) data files from
         every table this applier owns — base, deltas, DLQ, lineage. Crash

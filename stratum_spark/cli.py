@@ -431,6 +431,39 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup of one document's current row (bucket-pruned read --
+    the consumer-side 'what is doc X right now' probe)."""
+    ap = _applier(args)
+    rows = [r.asDict() for r in ap.lookup(args.doc).collect()]
+    if args.json:
+        print(json.dumps(rows, default=str))
+    elif not rows:
+        print(f"{args.doc}: not found")
+    else:
+        for k, v in rows[0].items():
+            print(f"{k:12s} {v}")
+    return 0 if rows else 1
+
+
+def cmd_changes(args) -> int:
+    """Incremental changes between two snapshot versions of the bookmark
+    table (Iceberg incremental read / Delta CDF analog) -- what a
+    downstream consumer re-processes instead of rescanning."""
+    ap = _applier(args)
+    table = ap.deltas if ap.write_mode == "mor" else ap.tokens
+    ch = table.read_changes(args.from_version, args.to_version)
+    n = ch.count()
+    rows = [r.asDict() for r in ch.limit(args.limit).collect()]
+    if args.json:
+        print(json.dumps({"total": n, "rows": rows}, default=str))
+    else:
+        print(f"{n} changed rows (showing up to {args.limit}):")
+        for r in rows:
+            print(f"  {r.get('_change_type', '?'):17s} {r}")
+    return 0
+
+
 def cmd_version(args) -> int:
     import pyspark
 
@@ -555,6 +588,20 @@ def main(argv: list[str] | None = None) -> int:
     _add_applier_args(p, default_mode="auto")
     p.add_argument("--version", type=int, required=True)
     p.set_defaults(fn=cmd_rollback)
+
+    p = sub.add_parser("lookup", help="point lookup of one document's current row")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--doc", required=True)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_lookup)
+
+    p = sub.add_parser("changes", help="incremental changes between snapshot versions")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--from-version", dest="from_version", type=int, required=True)
+    p.add_argument("--to-version", dest="to_version", type=int, default=None)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_changes)
 
     p = sub.add_parser("reset", help="drop a warehouse's state")
     p.add_argument("--warehouse", required=True)
