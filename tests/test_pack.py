@@ -109,3 +109,38 @@ def test_packed_applier_resume_adopts_table_format(spark, tmp_path):
     want = {r["doc_id"]: r["tokens"] for r in ref.state().collect()}
     got = {r["doc_id"]: r["tokens"] for r in ap2.state().collect()}
     assert got == want
+
+
+def test_pack_roundtrip_property():
+    """Property: pack(unpack-able input) round-trips to identity for
+    arbitrary list<int32> shapes -- nulls, empties, negative/extreme
+    values, and SLICED arrays (nonzero Arrow offset, the path
+    _normalized pays a copy for)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stratum_spark.functions.pack import pack_array, unpack_array
+
+    rows = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                max_size=40,
+            ),
+        ),
+        max_size=60,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows=rows, cut=st.integers(min_value=0, max_value=10))
+    def prop(rows, cut):
+        import pyarrow as pa
+
+        arr = pa.array(rows, type=pa.list_(pa.int32()))
+        if cut and cut < len(arr):
+            arr = arr.slice(cut)  # nonzero offset path
+        back = unpack_array(pack_array(arr))
+        assert back.to_pylist() == arr.to_pylist()
+
+    prop()
