@@ -1778,6 +1778,22 @@ class CdcApplier:
             out = unpack_tokens(out, "tokens")
         return out
 
+    def sync_out(self, url: str, target_table: str, **kw) -> dict:
+        """Propagate the engine's current state to a JDBC database
+        (cdc/sync_out.py) -- the reference's migrate-into-database
+        direction, incremental. mor folds deltas first: compaction is
+        the state-materialization point, and the base table's
+        read_changes then carries exactly the net diff a downstream
+        database needs."""
+        from stratum_spark.cdc.sync_out import sync_to_jdbc
+
+        if self.write_mode == "mor":
+            self.compact_deltas()
+        return sync_to_jdbc(
+            self.spark, self.tokens, url, target_table,
+            job_id=kw.pop("job_id", f"{self.job_id}::sync"), **kw,
+        )
+
     def remove_orphans(self, grace_sec: float = 3600.0) -> dict:
         """Sweep orphaned (written-but-never-committed) data files from
         every table this applier owns — base, deltas, DLQ, lineage. Crash

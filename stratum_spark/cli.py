@@ -464,6 +464,20 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Incremental lake -> JDBC sync-out (the reference's
+    migrate-into-database direction): net changes since the target's own
+    bookmark apply as one staged, transactional upsert."""
+    ap = _applier(args)
+    props = {"driver": args.jdbc_driver} if args.jdbc_driver else None
+    res = ap.sync_out(args.url, args.target, properties=props,
+                      dialect=args.dialect)
+    print(json.dumps(res) if args.json else
+          f"sync {res['mode']}: {res['applied']} rows "
+          f"(v{res['from_version']} -> v{res['to_version']})")
+    return 0
+
+
 def cmd_version(args) -> int:
     import pyspark
 
@@ -602,6 +616,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser("sync", help="incremental sync-out to a JDBC database")
+    _add_applier_args(p, default_mode="auto")
+    p.add_argument("--url", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--dialect", choices=("ansi", "postgres", "mysql"), default=None)
+    p.add_argument("--jdbc-driver", default=None)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_sync)
 
     p = sub.add_parser("reset", help="drop a warehouse's state")
     p.add_argument("--warehouse", required=True)

@@ -177,6 +177,7 @@ def jdbc_staged_upsert(
     properties: dict[str, str] | None = None,
     batch_size: int = 10_000,
     dialect: str | None = None,
+    extra_txn_sql: list[str] | None = None,
 ) -> int:
     """Staging-table + dialect-branched upsert transaction sink -- the
     reference's upsert write path
@@ -241,6 +242,12 @@ def jdbc_staged_upsert(
     writer.save()
 
     stmts = upsert_statements(dialect, table, staging, data_cols, key, op_col)
+    # extra_txn_sql rides the SAME database transaction as the upsert --
+    # callers (cdc/sync_out.py) use it to commit their sync bookmark
+    # atomically with the applied batch, the exactly-once composition the
+    # lake side gets from (job_id, epoch) bookmarks in snapshot commits.
+    if extra_txn_sql:
+        stmts = stmts + list(extra_txn_sql)
 
     jvm = spark._jvm
     conn_props = jvm.java.util.Properties()
@@ -256,11 +263,19 @@ def jdbc_staged_upsert(
         rs.close()
         if len(stmts) > 1:
             conn.setAutoCommit(False)
-        for s in stmts:
-            st.executeUpdate(s)
-        if len(stmts) > 1:
-            conn.commit()
-            conn.setAutoCommit(True)
+        try:
+            for s in stmts:
+                st.executeUpdate(s)
+            if len(stmts) > 1:
+                conn.commit()
+                conn.setAutoCommit(True)
+        except Exception:
+            # leave the connection closable (Derby refuses to close with
+            # an open transaction) and the target untouched
+            if len(stmts) > 1:
+                conn.rollback()
+                conn.setAutoCommit(True)
+            raise
         try:
             st.executeUpdate(f"DROP TABLE {staging}")
         except Exception:

@@ -1,0 +1,178 @@
+"""Incremental lake -> JDBC sync-out (cdc/sync_out.py) against embedded
+Apache Derby: full first pass, incremental diffs (updates + deletes),
+noop convergence, bookmark-regression idempotence, and the expired-
+history full resync that also converges target-side deletions. The
+bookmark commits in the SAME database transaction as the applied rows
+(exactly-once in the lake->database direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stratum_spark.cdc.sync_out import sync_to_jdbc
+from stratum_spark.lake.table import LakeTable
+
+URL_BASE = "jdbc:derby:memory:syncout"
+PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+SCHEMA = "doc_id string, n int, tokens array<int>"
+
+
+def _conn(spark, url):
+    return spark._jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _target_rows(spark, url, table):
+    df = spark.read.jdbc(url, table, properties=PROPS)
+    return {r["DOC_ID"] if "DOC_ID" in df.columns else r["doc_id"]: r.asDict()
+            for r in df.collect()}
+
+
+def _expected(t):
+    out = {}
+    for r in t.read().collect():
+        d = r.asDict()
+        d["tokens"] = (
+            "[" + ",".join(str(x) for x in d["tokens"]) + "]"
+            if d["tokens"] is not None else None
+        )
+        out[d["doc_id"]] = d
+    return out
+
+
+def _assert_synced(spark, url, t, target="tgt"):
+    got = _target_rows(spark, url, target)
+    want = _expected(t)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k, w in want.items():
+        g = {kk.lower(): vv for kk, vv in got[k].items()}
+        assert g["n"] == w["n"] and g["tokens"] == w["tokens"], (k, g, w)
+
+
+def test_sync_out_lifecycle(spark, tmp_path):
+    url = URL_BASE + ";create=true"
+    url_plain = URL_BASE
+    conn = _conn(spark, url)
+    st = conn.createStatement()
+    for ddl in (
+        "DROP TABLE tgt", "DROP TABLE tgt_sync",
+    ):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    # exact-case quoted columns: the convention Spark's JDBC writer uses
+    # for tables it creates, and what upsert_statements targets
+    st.executeUpdate(
+        'CREATE TABLE tgt ("doc_id" VARCHAR(64) PRIMARY KEY, '
+        '"n" INT, "tokens" CLOB)'
+    )
+    conn.close()
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key="doc_id", n_buckets=4)
+    rows1 = [(f"d{i}", i, [i, i + 1]) for i in range(12)]
+    t.merge(spark.createDataFrame(rows1, SCHEMA), op_col=None)
+
+    # first contact: full pass, bookmark lands atomically
+    res = sync_to_jdbc(spark, t, url_plain, "tgt", properties=PROPS)
+    assert res["mode"] == "full" and res["applied"] == 12
+    _assert_synced(spark, url_plain, t)
+
+    # incremental: updates + deletes propagate as a net diff
+    up = spark.createDataFrame(
+        [("d1", 100, [9], "U"), ("d2", 200, [8], "U"), ("d3", None, None, "D"),
+         ("d99", 99, [7], "I")],
+        SCHEMA + ", op string",
+    )
+    t.merge(up)
+    res = sync_to_jdbc(spark, t, url_plain, "tgt", properties=PROPS)
+    assert res["mode"] == "incremental" and res["applied"] == 4
+    _assert_synced(spark, url_plain, t)
+
+    # convergence: nothing new -> noop, zero rows shipped
+    res = sync_to_jdbc(spark, t, url_plain, "tgt", properties=PROPS)
+    assert res["mode"] == "noop" and res["applied"] == 0
+
+    # bookmark regression (simulated replay window): re-sync is idempotent
+    conn = _conn(spark, url_plain)
+    conn.createStatement().executeUpdate(
+        "UPDATE tgt_sync SET synced_version = synced_version - 1"
+    )
+    conn.close()
+    res = sync_to_jdbc(spark, t, url_plain, "tgt", properties=PROPS)
+    assert res["mode"] == "incremental"
+    _assert_synced(spark, url_plain, t)
+
+    # expired history + rogue target row: full resync converges deletions
+    conn = _conn(spark, url_plain)
+    cst = conn.createStatement()
+    cst.executeUpdate("UPDATE tgt_sync SET synced_version = 1")
+    cst.executeUpdate("INSERT INTO tgt VALUES ('rogue', -1, NULL)")
+    conn.close()
+    t.merge(spark.createDataFrame([("d5", 555, [5], "U")], SCHEMA + ", op string"))
+    t.expire_snapshots(keep_last=1)
+    res = sync_to_jdbc(spark, t, url_plain, "tgt", properties=PROPS)
+    assert res["mode"] == "full_resync"
+    _assert_synced(spark, url_plain, t)  # rogue row gone, d5 updated
+
+
+def test_sync_out_requires_key(spark, tmp_path):
+    import pytest
+
+    t = LakeTable.create(spark, str(tmp_path / "k"), SCHEMA, n_buckets=2)
+    with pytest.raises(ValueError):
+        sync_to_jdbc(spark, t, URL_BASE, "tgt", properties=PROPS)
+
+
+def test_applier_sync_out_mor_and_cli(spark, tmp_path, capsys):
+    """End-to-end: binlog -> mor backfill -> sync_out folds deltas and
+    propagates exactly the applier state to Derby; a second epoch syncs
+    incrementally via the CLI verb."""
+    import json as _json
+
+    from stratum_spark.cdc import CdcApplier, generate_binlog, write_binlog
+    from stratum_spark.cli import main
+
+    url = "jdbc:derby:memory:syncap;create=true"
+    url_plain = "jdbc:derby:memory:syncap"
+    conn = _conn(spark, url)
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE tok", "DROP TABLE tok_sync"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    st.executeUpdate(
+        'CREATE TABLE tok ("doc_id" VARCHAR(64) PRIMARY KEY, "tokens" CLOB, '
+        '"n_tok" INT, "source" VARCHAR(32), "lsn" BIGINT)'
+    )
+    conn.close()
+
+    feed = generate_binlog(spark, n_docs=60, n_events=400, seed=5,
+                           max_tokens=8, with_evolution=False)
+    write_binlog(feed, str(tmp_path / "binlog"), n_chunks=2)
+    ap = CdcApplier(spark, str(tmp_path / "wh"), job_id="so", n_buckets=4,
+                    write_mode="mor", evolution=[], n_events_hint=400)
+    ap.run_backfill(str(tmp_path / "binlog"), epoch_size=200, stop_after=1)
+    res = ap.sync_out(url_plain, "tok", properties=PROPS)
+    assert res["mode"] == "full" and res["applied"] > 0
+
+    want = {r["doc_id"]: r.asDict() for r in ap.state().collect()}
+    got = _target_rows(spark, url_plain, "tok")
+    assert set(got) == set(want)
+
+    # epoch 2 applies, then the CLI verb syncs the net diff
+    ap.run_backfill(str(tmp_path / "binlog"), epoch_size=200)
+    assert main(["sync", "--url", url_plain, "--target", "tok",
+                 "--jdbc-driver", PROPS["driver"], "--json",
+                 "--warehouse", str(tmp_path / "wh"), "--job-id", "so",
+                 "--n-buckets", "4", "--events-hint", "400"]) == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["mode"] in ("incremental", "full_resync")
+    want = {r["doc_id"]: r.asDict() for r in ap.state().collect()}
+    got = _target_rows(spark, url_plain, "tok")
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = {kk.lower(): vv for kk, vv in got[k].items()}
+        assert g["n_tok"] == w["n_tok"] and g["source"] == w["source"], (k, g, w)
