@@ -62,6 +62,65 @@ def _read_bookmark(spark, url: str, props: dict, bk_table: str, job_id: str):
         conn.close()
 
 
+def _sql_type(dt, stage_string_len: int) -> str:
+    """Spark type -> portable SQL column type for outward schema adds.
+    Arrays were already stringified upstream, so only scalar lake types
+    arrive here."""
+    s = dt.simpleString()
+    if s.startswith("decimal"):
+        return s.upper()
+    return {
+        "string": f"VARCHAR({stage_string_len})",
+        "int": "INT", "bigint": "BIGINT", "smallint": "SMALLINT",
+        "double": "DOUBLE", "float": "REAL", "boolean": "BOOLEAN",
+        "timestamp": "TIMESTAMP", "date": "DATE", "binary": "BLOB",
+    }.get(s, f"VARCHAR({stage_string_len})")
+
+
+def _ensure_target_columns(
+    spark, url: str, props: dict, target_table: str, df: DataFrame,
+    dialect: str, stage_string_len: int,
+) -> list[str]:
+    """Outward schema evolution (the reference's three-phase schema
+    execution pointed at the DESTINATION database): lake columns the
+    target lacks are added as nullable ALTER TABLE ADD COLUMN before the
+    upsert, matching the lake side's metadata-only add_column. Renames
+    and widens are NOT propagated (destructive on a shared target); a
+    lake rename surfaces as an add of the new name. Driver-side JDBC
+    metadata probe + DDL, no Spark jobs."""
+    conn = _connect(spark, url, props)
+    try:
+        md = conn.getMetaData()
+        have: set[str] = set()
+        for name in (target_table, target_table.upper()):
+            rs = md.getColumns(None, None, name, None)
+            while rs.next():
+                have.add(rs.getString("COLUMN_NAME"))
+            rs.close()
+            if have:
+                break
+        if not have:
+            raise ValueError(
+                f"target table {target_table!r} does not exist at {url}; "
+                "create it with the merge key as PRIMARY KEY/unique first"
+            )
+        have_l = {c.lower() for c in have}
+        q = "`" if dialect == "mysql" else '"'
+        st = conn.createStatement()
+        added = []
+        for f in df.schema.fields:
+            if f.name == "_op" or f.name.lower() in have_l:
+                continue
+            st.executeUpdate(
+                f"ALTER TABLE {target_table} ADD COLUMN "
+                f"{q}{f.name}{q} {_sql_type(f.dataType, stage_string_len)}"
+            )
+            added.append(f.name)
+        return added
+    finally:
+        conn.close()
+
+
 def sync_to_jdbc(
     spark: SparkSession,
     table: LakeTable,
@@ -73,6 +132,7 @@ def sync_to_jdbc(
     allow_full_resync: bool = True,
     batch_size: int = 10_000,
     stage_string_len: int = 4096,
+    evolve_target: bool = True,
 ) -> dict:
     """Propagate `table`'s state to `target_table` in the database at
     `url`, incrementally from the target's own bookmark.
@@ -150,6 +210,10 @@ def sync_to_jdbc(
         if parts:
             props["createTableColumnTypes"] = ", ".join(parts)
 
+    added_cols = _ensure_target_columns(
+        spark, url, props, target_table, df, dialect, stage_string_len
+    ) if evolve_target else []
+
     q = "`" if dialect == "mysql" else '"'
     staging = f"{target_table}_stg_{uuid.uuid4().hex[:8]}"
     extra = [
@@ -168,5 +232,5 @@ def sync_to_jdbc(
         properties=props, batch_size=batch_size, dialect=dialect,
         extra_txn_sql=extra,
     )
-    return {"mode": mode, "applied": n,
+    return {"mode": mode, "applied": n, "added_columns": added_cols,
             "from_version": from_v, "to_version": to_v}

@@ -176,3 +176,48 @@ def test_applier_sync_out_mor_and_cli(spark, tmp_path, capsys):
     for k, w in want.items():
         g = {kk.lower(): vv for kk, vv in got[k].items()}
         assert g["n_tok"] == w["n_tok"] and g["source"] == w["source"], (k, g, w)
+
+
+def test_sync_out_propagates_schema_adds(spark, tmp_path):
+    """Outward schema evolution: a lake add_column lands on the target as
+    ALTER TABLE ADD COLUMN before the upsert, and the new values ship."""
+    url = "jdbc:derby:memory:syncevo;create=true"
+    url_plain = "jdbc:derby:memory:syncevo"
+    conn = _conn(spark, url)
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE evt", "DROP TABLE evt_sync"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    st.executeUpdate(
+        'CREATE TABLE evt ("doc_id" VARCHAR(64) PRIMARY KEY, "n" INT)'
+    )
+    conn.close()
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "doc_id string, n int",
+                         key="doc_id", n_buckets=2)
+    t.merge(spark.createDataFrame([("a", 1), ("b", 2)], "doc_id string, n int"),
+            op_col=None)
+    res = sync_to_jdbc(spark, t, url_plain, "evt", properties=PROPS)
+    assert res["mode"] == "full" and res["added_columns"] == []
+
+    t.add_column("lang", "string")
+    t.merge(
+        spark.createDataFrame([("a", 10, "en"), ("c", 3, "de")],
+                              "doc_id string, n int, lang string"),
+        op_col=None,
+    )
+    res = sync_to_jdbc(spark, t, url_plain, "evt", properties=PROPS)
+    assert res["mode"] == "incremental" and res["added_columns"] == ["lang"]
+    got = _target_rows(spark, url_plain, "evt")
+    g = {k: {kk.lower(): vv for kk, vv in v.items()} for k, v in got.items()}
+    assert g["a"]["lang"] == "en" and g["c"]["lang"] == "de"
+    assert g["b"]["lang"] is None and g["b"]["n"] == 2
+
+    # missing target is a clear error, not a mystery SQL failure
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        sync_to_jdbc(spark, t, url_plain, "nope_table", properties=PROPS,
+                     job_id="other")
