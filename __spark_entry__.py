@@ -564,6 +564,48 @@ def _q_cdc_incremental_read(spark, sf):
     )
 
 
+def _q_cdc_sync_out_jdbc(spark, sf):
+    """The full egress path under the driver gate: the no-evolution gate
+    binlog -> cow backfill -> incremental sync-out to an embedded Derby
+    database (cdc/sync_out.py: staged dialect upsert + target-side
+    transactional bookmark) -> read BACK from Derby over JDBC. The
+    round-trip result is hash-gated against the DuckDB LWW replay of the
+    same binlog -- proving the lake->database direction delivers exactly
+    the winners the lake holds (the reference's migrate-into-database
+    identity, crates/engine-processing/src/io/sink/postgres.rs)."""
+    from stratum_spark.cdc import CdcApplier
+    from stratum_spark.cdc.sync_out import sync_to_jdbc
+
+    binlog = _cdc_gate_binlog(spark, "binlog_noevo", _CDC_GATE_NOEVO_PARAMS)
+    wh = _tempfile.mkdtemp(prefix="cdc_gate_whj_")
+    ap = CdcApplier(spark, f"{wh}/wh", job_id="gatej", n_buckets=4,
+                    evolution=[], write_mode="cow",
+                    n_events_hint=_CDC_GATE_NOEVO_PARAMS["n_events"])
+    ap.run_backfill(binlog, epoch_size=300)
+
+    dbname = f"gate_{os.getpid()}"
+    url = f"jdbc:derby:memory:{dbname}"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE tok", "DROP TABLE tok_sync"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    st.executeUpdate(
+        'CREATE TABLE tok ("doc_id" VARCHAR(64) PRIMARY KEY, "tokens" '
+        'VARCHAR(4096), "n_tok" INT, "source" VARCHAR(32), "lsn" BIGINT)'
+    )
+    conn.close()
+    sync_to_jdbc(spark, ap.tokens, url, "tok", properties=props)
+    return (
+        spark.read.jdbc(url, "tok", properties=props)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tok", "source", "lsn")
+    )
+
+
 def _q_lake_scan_prune(spark, sf):
     """Manifest-stats file skipping (Iceberg min/max metrics-pruning
     analog) under the driver gate: the no-evolution gate binlog appended
@@ -690,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_end_to_end_packed": _q_cdc_end_to_end_packed,
         "cdc_end_to_end_stream": _q_cdc_end_to_end_stream,
         "cdc_incremental_read": _q_cdc_incremental_read,
+        "cdc_sync_out_jdbc": _q_cdc_sync_out_jdbc,
         "lake_scan_prune": _q_lake_scan_prune,
     }
 
@@ -1018,6 +1061,17 @@ def oracle_sql() -> dict[str, str]:
         "a.tokens[1] AS tok0 FROM a LEFT JOIN b ON a.doc_id = b.doc_id "
         "WHERE b.doc_id IS NULL"
         ") ORDER BY doc_id"
+    )
+    # cdc_sync_out_jdbc: the winners of the no-evolution replay, as
+    # delivered to (and read back from) the Derby target by the sync-out
+    # path -- the lsn column is the stored winner lsn.
+    out["cdc_sync_out_jdbc"] = (
+        f"WITH ev AS (SELECT * FROM read_parquet('{_CDC_GATE_ROOT}/binlog_noevo/chunk-*.parquet')), "
+        "valid AS (SELECT * FROM ev WHERE op = 'D' OR n_tok = len(tokens)), "
+        "w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn "
+        "FROM valid) "
+        "SELECT doc_id, n_tok, source, lsn FROM w "
+        "WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"
     )
     # lake_scan_prune: the Spark side appends the SAME binlog parquet to a
     # stats.columns=lsn LakeTable in four lsn slices and reads it back
