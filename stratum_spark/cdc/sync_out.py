@@ -20,6 +20,7 @@ driver round trips anywhere.
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -154,6 +155,13 @@ def sync_to_jdbc(
     table must exist with `key` unique/PK per jdbc_staged_upsert's
     dialect notes. The bookmark commits in the SAME transaction as the
     applied rows."""
+    # job_id and target_table are interpolated into SQL text (bookmark
+    # upserts, DDL); constrain them to identifier-ish charsets so a
+    # config typo cannot smuggle statement syntax into the target
+    if not re.fullmatch(r"[A-Za-z0-9_.:\-]+", job_id):
+        raise ValueError(f"job_id {job_id!r} must be [A-Za-z0-9_.:-]+")
+    if not re.fullmatch(r"[A-Za-z0-9_.]+", target_table):
+        raise ValueError(f"target_table {target_table!r} must be [A-Za-z0-9_.]+")
     snap = table.snapshot()
     key = snap.key
     if key is None:

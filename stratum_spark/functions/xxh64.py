@@ -96,5 +96,9 @@ def key_bucket(value, n_buckets: int) -> int:
     """The hash bucket `pmod(xxhash64(CAST(value AS STRING)), n_buckets)`
     assigns -- bit-identical to lake/table.py::_bucket_expr, evaluated
     driver-side with zero jobs. Python's % on a positive modulus is
-    already non-negative for negative operands, i.e. exactly pmod."""
+    already non-negative for negative operands, i.e. exactly pmod.
+    Spark's hash functions SKIP null inputs (the result is the seed, 42),
+    so a null key buckets to 42 % n_buckets, not hash("None")."""
+    if value is None:
+        return 42 % n_buckets
     return xxhash64_signed(str(value).encode("utf-8")) % n_buckets

@@ -182,6 +182,13 @@ def test_xxh64_bit_identical_to_spark(spark):
     for r in rows:
         assert xxhash64_signed(r["s"].encode("utf-8")) == r["h"], r["s"]
         assert key_bucket(r["s"], 8) == r["b"], r["s"]
+    # Spark's hash functions skip NULL inputs -> seed (42); the python
+    # bucket must agree, not hash the string "None"
+    nr = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(None).cast("string")), F.lit(8))
+        .cast("int").alias("b")
+    ).first()
+    assert key_bucket(None, 8) == nr["b"] == 42 % 8
 
 
 def test_lookup_prunes_to_single_bucket(spark, tmp_path):
