@@ -1789,9 +1789,18 @@ class CdcApplier:
 
         if self.write_mode == "mor":
             self.compact_deltas()
+        transform = kw.pop("transform", None)
+        if transform is None and self.tokens_packed:
+            # the packed binary is an internal storage format; the
+            # database receives the user-facing token arrays (stringified
+            # downstream by sync_to_jdbc), same contract as state()
+            from stratum_spark.functions.pack import unpack_tokens
+
+            transform = lambda df: unpack_tokens(df, "tokens")  # noqa: E731
         return sync_to_jdbc(
             self.spark, self.tokens, url, target_table,
-            job_id=kw.pop("job_id", f"{self.job_id}::sync"), **kw,
+            job_id=kw.pop("job_id", f"{self.job_id}::sync"),
+            transform=transform, **kw,
         )
 
     def remove_orphans(self, grace_sec: float = 3600.0) -> dict:

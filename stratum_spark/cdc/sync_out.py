@@ -134,6 +134,7 @@ def sync_to_jdbc(
     batch_size: int = 10_000,
     stage_string_len: int = 4096,
     evolve_target: bool = True,
+    transform=None,
 ) -> dict:
     """Propagate `table`'s state to `target_table` in the database at
     `url`, incrementally from the target's own bookmark.
@@ -196,6 +197,13 @@ def sync_to_jdbc(
         mode = "full" if from_v is None else "full_resync"
         df = table.read(version=to_v).withColumn("_op", F.lit("U"))
 
+    if transform is not None:
+        # caller-supplied egress mapping (e.g. CdcApplier unpacks its
+        # internal packed-binary token format back to arrays so the
+        # database receives the user-facing representation). Must be a
+        # column-wise projection: the diff/bookmark semantics are
+        # computed BEFORE it runs.
+        df = transform(df)
     for f in df.schema.fields:
         if isinstance(f.dataType, ArrayType):
             df = df.withColumn(f.name, F.to_json(f.name))
