@@ -8,8 +8,6 @@ bookmark commits in the SAME database transaction as the applied rows
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from stratum_spark.cdc.sync_out import sync_to_jdbc
 from stratum_spark.lake.table import LakeTable
 
