@@ -1803,6 +1803,21 @@ class CdcApplier:
             transform=transform, **kw,
         )
 
+    def verify_sync_target(self, url: str, target_table: str, **kw) -> dict:
+        """Per-key verification of a sync-out target against the engine's
+        base table (the reference's source-vs-destination validation,
+        egress direction). Uses the same egress mapping sync_out ships
+        with, so a clean sync verifies clean."""
+        from stratum_spark.cdc.sync_out import verify_target
+
+        transform = kw.pop("transform", None)
+        if transform is None and self.tokens_packed:
+            from stratum_spark.functions.pack import unpack_tokens
+
+            transform = lambda df: unpack_tokens(df, "tokens")  # noqa: E731
+        return verify_target(self.spark, self.tokens, url, target_table,
+                             transform=transform, **kw)
+
     def remove_orphans(self, grace_sec: float = 3600.0) -> dict:
         """Sweep orphaned (written-but-never-committed) data files from
         every table this applier owns — base, deltas, DLQ, lineage. Crash

@@ -472,10 +472,15 @@ def cmd_sync(args) -> int:
     props = {"driver": args.jdbc_driver} if args.jdbc_driver else None
     res = ap.sync_out(args.url, args.target, properties=props,
                       dialect=args.dialect)
+    if args.verify:
+        res["verify"] = ap.verify_sync_target(args.url, args.target,
+                                              properties=props)
     print(json.dumps(res) if args.json else
           f"sync {res['mode']}: {res['applied']} rows "
-          f"(v{res['from_version']} -> v{res['to_version']})")
-    return 0
+          f"(v{res['from_version']} -> v{res['to_version']})"
+          + (f"; verify {'OK' if res['verify']['match'] else 'MISMATCH'}"
+             if args.verify else ""))
+    return 0 if not args.verify or res["verify"]["match"] else 2
 
 
 def cmd_version(args) -> int:
@@ -623,6 +628,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target", required=True)
     p.add_argument("--dialect", choices=("ansi", "postgres", "mysql"), default=None)
     p.add_argument("--jdbc-driver", default=None)
+    p.add_argument("--verify", action="store_true",
+                   help="after syncing, verify the target per key (exit 2 on mismatch)")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_sync)
 

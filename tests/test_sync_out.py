@@ -264,3 +264,48 @@ def test_applier_sync_out_packed_unpacks_at_egress(spark, tmp_path):
     for k, w in want.items():
         g = {kk.lower(): vv for kk, vv in got[k].items()}
         assert g["tokens"] == w, (k, g["tokens"], w)
+
+
+def test_verify_target_detects_tamper(spark, tmp_path):
+    """verify_target: clean sync verifies clean; a tampered, a deleted,
+    and an injected target row are each reported by key."""
+    from stratum_spark.cdc.sync_out import verify_target
+
+    url = "jdbc:derby:memory:syncvf;create=true"
+    url_plain = "jdbc:derby:memory:syncvf"
+    conn = _conn(spark, url)
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE vt", "DROP TABLE vt_sync"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    st.executeUpdate(
+        'CREATE TABLE vt ("doc_id" VARCHAR(64) PRIMARY KEY, '
+        '"n" INT, "tokens" VARCHAR(1024))'
+    )
+    conn.close()
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key="doc_id", n_buckets=2)
+    t.merge(spark.createDataFrame(
+        [(f"d{i}", i, [i]) for i in range(8)], SCHEMA), op_col=None)
+    sync_to_jdbc(spark, t, url_plain, "vt", properties=PROPS)
+
+    res = verify_target(spark, t, url_plain, "vt", properties=PROPS)
+    assert res["match"] and res["ok"] == 8 and res["divergent_sample"] == []
+
+    conn = _conn(spark, url_plain)
+    st = conn.createStatement()
+    st.executeUpdate("UPDATE vt SET \"n\" = 999 WHERE \"doc_id\" = 'd3'")
+    st.executeUpdate("DELETE FROM vt WHERE \"doc_id\" = 'd5'")
+    st.executeUpdate("INSERT INTO vt VALUES ('ghost', 0, NULL)")
+    conn.close()
+
+    res = verify_target(spark, t, url_plain, "vt", properties=PROPS)
+    assert not res["match"]
+    assert res["differs"] == 1 and res["missing_in_target"] == 1
+    assert res["extra_in_target"] == 1 and res["ok"] == 6
+    got = dict(res["divergent_sample"])
+    assert got == {"d3": "differs", "d5": "missing_in_target",
+                   "ghost": "extra_in_target"}
