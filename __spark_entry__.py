@@ -606,6 +606,64 @@ def _q_cdc_sync_out_jdbc(spark, sf):
     )
 
 
+def _q_cdc_sync_verify(spark, sf):
+    """The egress AUDIT under the driver gate: sync the no-evolution
+    replay winners to Derby (as cdc_sync_out_jdbc does), then
+    deterministically corrupt the target -- UPDATE n_tok=-1 for keys
+    ending '3', DELETE keys ending '7', INSERT one ghost key -- and run
+    the per-key canonical-hash verification
+    (cdc/sync_out.py::target_status, the reference's source-vs-
+    destination validation pointed at the egress direction). The
+    divergence set the audit reports must equal EXACTLY the injected
+    corruption, which the oracle derives independently from the binlog
+    parquet's LWW winners -- proving the audit catches every kind of
+    target drift (tamper, loss, injection) with zero false positives."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.cdc import CdcApplier
+    from stratum_spark.cdc.sync_out import sync_to_jdbc, target_status
+
+    binlog = _cdc_gate_binlog(spark, "binlog_noevo", _CDC_GATE_NOEVO_PARAMS)
+    wh = _tempfile.mkdtemp(prefix="cdc_gate_whv_")
+    ap = CdcApplier(spark, f"{wh}/wh", job_id="gatev", n_buckets=4,
+                    evolution=[], write_mode="cow",
+                    n_events_hint=_CDC_GATE_NOEVO_PARAMS["n_events"])
+    ap.run_backfill(binlog, epoch_size=300)
+
+    dbname = f"gatev_{os.getpid()}"
+    url = f"jdbc:derby:memory:{dbname}"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE tok", "DROP TABLE tok_sync"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    st.executeUpdate(
+        'CREATE TABLE tok ("doc_id" VARCHAR(64) PRIMARY KEY, "tokens" '
+        'VARCHAR(4096), "n_tok" INT, "source" VARCHAR(32), "lsn" BIGINT)'
+    )
+    conn.close()
+    sync_to_jdbc(spark, ap.tokens, url, "tok", properties=props)
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        'UPDATE tok SET "n_tok" = -1 WHERE "doc_id" LIKE \'%3\'')
+    st.executeUpdate('DELETE FROM tok WHERE "doc_id" LIKE \'%7\'')
+    st.executeUpdate(
+        "INSERT INTO tok VALUES ('zzz-ghost', '[1]', 1, 'ghost', 1)")
+    conn.close()
+
+    status = target_status(spark, ap.tokens, url, "tok", properties=props)
+    return (
+        status.where(F.col("status") != "ok")
+        .orderBy("k")
+        .select(F.col("k").alias("doc_id"), "status")
+    )
+
+
 def _q_lake_scan_prune(spark, sf):
     """Manifest-stats file skipping (Iceberg min/max metrics-pruning
     analog) under the driver gate: the no-evolution gate binlog appended
@@ -733,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_end_to_end_stream": _q_cdc_end_to_end_stream,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "cdc_sync_out_jdbc": _q_cdc_sync_out_jdbc,
+        "cdc_sync_verify": _q_cdc_sync_verify,
         "lake_scan_prune": _q_lake_scan_prune,
     }
 
@@ -1072,6 +1131,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM valid) "
         "SELECT doc_id, n_tok, source, lsn FROM w "
         "WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"
+    )
+    # cdc_sync_verify: the divergence set the egress audit must report
+    # after the gate's deterministic corruption of the Derby target --
+    # derived here independently from the binlog's LWW winners: every
+    # winner key ending '3' was tampered (differs), every winner key
+    # ending '7' was deleted (missing_in_target), plus the one injected
+    # ghost key (extra_in_target).
+    out["cdc_sync_verify"] = (
+        f"WITH ev AS (SELECT * FROM read_parquet('{_CDC_GATE_ROOT}/binlog_noevo/chunk-*.parquet')), "
+        "valid AS (SELECT * FROM ev WHERE op = 'D' OR n_tok = len(tokens)), "
+        "w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn "
+        "FROM valid), "
+        "win AS (SELECT doc_id FROM w WHERE rn = 1 AND op <> 'D') "
+        "SELECT doc_id, status FROM ("
+        "SELECT doc_id, 'differs' AS status FROM win WHERE doc_id LIKE '%3' "
+        "UNION ALL "
+        "SELECT doc_id, 'missing_in_target' AS status FROM win WHERE doc_id LIKE '%7' "
+        "UNION ALL "
+        "SELECT 'zzz-ghost' AS doc_id, 'extra_in_target' AS status"
+        ") ORDER BY doc_id"
     )
     # lake_scan_prune: the Spark side appends the SAME binlog parquet to a
     # stats.columns=lsn LakeTable in four lsn slices and reads it back

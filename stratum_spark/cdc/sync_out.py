@@ -252,30 +252,27 @@ def sync_to_jdbc(
             "from_version": from_v, "to_version": to_v}
 
 
-def verify_target(
+def target_status(
     spark: SparkSession,
     table: LakeTable,
     url: str,
     target_table: str,
     properties: dict | None = None,
     transform=None,
-    sample: int = 10,
-) -> dict:
-    """Verify the JDBC target against the lake table, per key -- the
-    reference's source-vs-destination verification
-    (crates/engine-processing/src/validation) pointed at the sync-out
-    direction. Both sides are canonicalized identically (the sync's own
+) -> DataFrame:
+    """Per-key verification frame for a sync-out target: columns
+    (k, status) where status is ok | missing_in_target | extra_in_target
+    | differs. Both sides are canonicalized identically (the sync's own
     egress mapping: optional transform, arrays stringified, values cast
     to the lake schema) and compared by the canonical row hash via a
     full outer join on the merge key -- one shuffle, no driver-side row
-    loops, scales to the table. Returns match/missing/extra/differing
-    counts plus a bounded sample of divergent keys."""
+    loops, scales to the table."""
     from stratum_spark.verify.hashing import canonical_hash_col
 
     snap = table.snapshot()
     key = snap.key
     if key is None:
-        raise ValueError("verify_target requires a keyed lake table")
+        raise ValueError("target_status requires a keyed lake table")
     props = dict(properties or {})
 
     lake = table.read(version=snap.version)
@@ -294,13 +291,32 @@ def verify_target(
                      canonical_hash_col(lake, cols).alias("lh"))
     th = tgt.select(F.col(key).alias("k"),
                     canonical_hash_col(tgt, cols).alias("th"))
-    j = lh.join(th, "k", "full_outer").select(
+    return lh.join(th, "k", "full_outer").select(
         "k",
         F.when(F.col("lh").isNull(), "extra_in_target")
         .when(F.col("th").isNull(), "missing_in_target")
         .when(F.col("lh") != F.col("th"), "differs")
         .otherwise("ok").alias("status"),
     )
+
+
+def verify_target(
+    spark: SparkSession,
+    table: LakeTable,
+    url: str,
+    target_table: str,
+    properties: dict | None = None,
+    transform=None,
+    sample: int = 10,
+) -> dict:
+    """Verify the JDBC target against the lake table, per key -- the
+    reference's source-vs-destination verification
+    (crates/engine-processing/src/validation) pointed at the sync-out
+    direction. Returns match/missing/extra/differing counts plus a
+    bounded sample of divergent keys; the per-key frame itself comes
+    from target_status."""
+    j = target_status(spark, table, url, target_table,
+                      properties=properties, transform=transform)
     agg = {r["status"]: r["n"] for r in
            j.groupBy("status").agg(F.count("*").alias("n")).collect()}
     bad = j.where(F.col("status") != "ok")
