@@ -3,8 +3,12 @@ with many more seeds and steps, run standalone so the shakeout can go deep
 without inflating the CI suite's wall time.
 
 Random interleavings of MERGE (I/U/D), bin-pack, whole-bucket compaction,
-bucket-count evolution, rollback and snapshot expiry; after every op the
-table content must equal a pure-Python model. Usage:
+bucket-count evolution, rollback, snapshot expiry and JDBC sync-out;
+after every op the table content must equal a pure-Python model, and
+after every sync the embedded-Derby target must pass the per-key hash
+audit (cdc/sync_out.py::verify_target) -- i.e. the egress direction
+converges from ANY maintenance interleaving, including bookmark
+regression via rollback and bookmark expiry via expire_snapshots. Usage:
 
     python tools/ops_fuzz.py [--seeds 11,13,17,...] [--steps 30]
 """
@@ -26,6 +30,32 @@ from stratum_spark.session import get_spark  # noqa: E402
 
 UP_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, "
              "source string, op string")
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _sync_and_audit(spark, t, seed: int, created: set) -> str:
+    """Sync the table to an embedded-Derby target and run the per-key
+    hash audit; any divergence (convergence failure after rollback/
+    expire/rewrites) raises."""
+    from stratum_spark.cdc.sync_out import sync_to_jdbc, verify_target
+
+    url = f"jdbc:derby:memory:fz{seed}"
+    tgt = f"fz_{seed}"
+    if seed not in created:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(
+            url + ";create=true")
+        conn.createStatement().executeUpdate(
+            f'CREATE TABLE {tgt} ("doc_id" VARCHAR(64) PRIMARY KEY, '
+            '"tokens" VARCHAR(4096), "n_tok" INT, "source" VARCHAR(32))'
+        )
+        conn.close()
+        created.add(seed)
+    res = sync_to_jdbc(spark, t, url, tgt, properties=DERBY_PROPS)
+    audit = verify_target(spark, t, url, tgt, properties=DERBY_PROPS)
+    assert audit["match"], (
+        f"SYNC AUDIT MISMATCH seed {seed} mode {res['mode']}: {audit}"
+    )
+    return res["mode"]
 
 
 def run_seed(spark, root: str, seed: int, steps: int) -> None:
@@ -41,9 +71,11 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
     model: dict[str, list[int]] = {}
     content_at: dict[int, dict] = {t.snapshot().version: dict(model)}
     next_doc = 0
+    created: set = set()
+    sync_modes: list[str] = []
     for step in range(steps):
         op = rng.choice(["merge", "merge", "merge", "binpack", "compact",
-                         "rebucket", "rollback", "expire"])
+                         "rebucket", "rollback", "expire", "sync"])
         if op == "merge":
             rows = []
             for _ in range(rng.randint(2, 12)):
@@ -79,6 +111,8 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
                 model = dict(content_at[v])
         elif op == "expire":
             t.expire_snapshots(keep_last=rng.randint(4, 8))
+        elif op == "sync":
+            sync_modes.append(_sync_and_audit(spark, t, seed, created))
         got = {r["doc_id"]: list(r["tokens"] or []) for r in t.read().collect()}
         assert got == model, (
             f"MISMATCH seed {seed} step {step} op {op}: "
@@ -103,8 +137,12 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
             f"LOOKUP MISMATCH seed {seed} doc {doc}"
         )
     assert t.lookup("never-a-doc").count() == 0
+    # end-of-seed: one final sync + audit so every seed proves egress
+    # convergence from whatever state the interleaving left behind
+    sync_modes.append(_sync_and_audit(spark, t, seed, created))
     print(f"seed {seed}: {steps} steps OK "
-          f"({len(model)} live docs, v{t.snapshot().version}, scans exact)",
+          f"({len(model)} live docs, v{t.snapshot().version}, scans exact, "
+          f"syncs {'/'.join(sync_modes)} audited)",
           flush=True)
 
 
