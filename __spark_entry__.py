@@ -385,6 +385,43 @@ def _q_text_tokens(spark, sf):
     return token_counts(_t(spark, sf, "documents"))
 
 
+def _q_pack_chunks(spark, sf):
+    """Concat-and-chunk pretraining layout (operators/packing.py): the
+    documents corpus as one token stream in doc_id order, each doc's
+    absolute token span and the fixed 512-token training chunks it lands
+    in -- computed with the two-pass distributed prefix sum (band totals
+    -> driver prefix -> per-band window), NOT a one-partition global
+    window. Oracle: the same spans from DuckDB's global window, proving
+    the banded plan is value-identical to the global order."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.operators.packing import chunk_token_stream
+    from stratum_spark.operators.textops import ws_tokens
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+    return chunk_token_stream(
+        docs, n_tok_col="n_tok", order_col="doc_id", chunk_tokens=512
+    ).select("doc_id", "n_tok", "tok_start", "chunk_first", "chunk_last")
+
+
+def _q_pack_manifest(spark, sf):
+    """The per-chunk manifest a training loader consumes: docs per chunk
+    + exact token accounting (512 everywhere except the last chunk).
+    Explode each doc's chunk span, aggregate per chunk; oracle repeats it
+    with DuckDB generate_series over the global-window spans."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.operators.packing import chunk_manifest, chunk_token_stream
+    from stratum_spark.operators.textops import ws_tokens
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+    spans = chunk_token_stream(
+        docs, n_tok_col="n_tok", order_col="doc_id", chunk_tokens=512)
+    return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
+
+
 def _q_text_quality(spark, sf):
     from stratum_spark.operators.textops import quality_scores
 
@@ -780,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "text_token_counts": _q_text_tokens,
+        "pack_token_chunks": _q_pack_chunks,
+        "pack_chunk_manifest": _q_pack_manifest,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1017,6 +1056,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens, "
             "len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens, "
             "length(text) AS n_chars_m FROM documents"
+        ),
+        # pack_token_chunks / pack_chunk_manifest: the oracle computes the
+        # concat-and-chunk spans with a GLOBAL window (fine in DuckDB at
+        # oracle scale) -- the Spark side must produce identical values
+        # from its banded two-pass prefix sum.
+        "pack_token_chunks": (
+            "WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok "
+            "FROM documents), "
+            "p AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM d WHERE n_tok > 0) "
+            "SELECT doc_id, n_tok, cum - n_tok AS tok_start, "
+            "(cum - n_tok) // 512 AS chunk_first, (cum - 1) // 512 AS chunk_last "
+            "FROM p"
+        ),
+        "pack_chunk_manifest": (
+            "WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok "
+            "FROM documents), "
+            "p AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM d WHERE n_tok > 0), "
+            "e AS (SELECT cum - n_tok AS tok_start, cum AS tok_end, "
+            "unnest(generate_series((cum - n_tok) // 512, (cum - 1) // 512)) AS chunk_id "
+            "FROM p) "
+            "SELECT chunk_id, count(*) AS n_docs, "
+            "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
+            "FROM e GROUP BY chunk_id ORDER BY chunk_id"
         ),
         "text_quality": (
             "WITH b AS (SELECT doc_id, length(text) AS n_chars, "

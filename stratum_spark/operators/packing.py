@@ -1,0 +1,125 @@
+"""Token-stream chunking for pretraining batch assembly.
+
+The standard LLM pretraining data layout concatenates the corpus into one
+logical token stream (in a deterministic document order) and cuts it every
+`chunk_tokens` tokens; each training example is one chunk, and documents
+straddle chunk boundaries. This module computes, distributively, each
+document's absolute token span in that stream and the chunks it lands in,
+plus the per-chunk manifest (docs per chunk, exact token accounting) a
+training loader consumes.
+
+Scale design (the part that matters at 100 TB): the naive expression is a
+single global window `sum(n_tok) OVER (ORDER BY order_col)`, which Spark
+executes on ONE partition -- a non-starter. Instead this runs the classic
+two-pass distributed prefix sum:
+
+  1. one tiny driver job picks ~n_bands range cuts over order_col
+     (approxQuantile, O(n_bands) result rows);
+  2. one aggregation job computes each band's token total
+     (map-side partial agg, O(n_bands) rows to the driver);
+  3. the driver prefix-sums the band totals (O(n_bands), pure Python);
+  4. the per-row cumulative sum is a window PARTITIONED BY band --
+     n_bands-way parallel -- plus the band's broadcast starting offset.
+
+The output is band-independent: a document's absolute offset depends only
+on the global order, so the result is identical for any cut placement
+(including the degenerate 1-band case), which is what the DuckDB
+global-window oracle checks. No analog in the reference (stratum migrates
+tables; it has no training-batch surface) -- this is the `payload=tokens`
+extension the brief asks for beyond the reference's operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_token_stream(
+    df: DataFrame,
+    n_tok_col: str = "n_tok",
+    order_col: str = "doc_id",
+    chunk_tokens: int = 4096,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Assign each document its absolute token span in the concatenated
+    stream (ordered by `order_col`, which must be numeric and unique) and
+    the fixed-capacity chunks it covers.
+
+    Adds columns: tok_start, tok_end (absolute, 0-based, end-exclusive),
+    chunk_first, chunk_last (inclusive chunk ids of size `chunk_tokens`).
+    Documents with n_tok <= 0 carry no tokens and are dropped.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    df = df.where(F.col(n_tok_col) > 0)
+
+    ord_d = F.col(order_col).cast("double")
+    cuts: list[float] = []
+    if n_bands > 1:
+        qs = [i / n_bands for i in range(1, n_bands)]
+        # one tiny job; the cut VALUES don't matter for correctness (any
+        # banding yields the same output), only for balance
+        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    if cuts:
+        band = F.size(F.filter(
+            F.array(*[F.lit(float(c)) for c in cuts]), lambda c: c < ord_d
+        ))
+    else:
+        band = F.lit(0)
+    df = df.withColumn("__band", band)
+
+    # pass 1: per-band token totals -- O(n_bands) rows to the driver
+    totals = {
+        r["__band"]: r["s"]
+        for r in df.groupBy("__band").agg(
+            F.sum(F.col(n_tok_col).cast("long")).alias("s")).collect()
+    }
+    offsets, running = {}, 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    if offsets:
+        pairs = []
+        for b, off in offsets.items():
+            pairs.extend([F.lit(b), F.lit(off)])
+        off_col = F.create_map(*pairs)[F.col("__band")]
+    else:
+        off_col = F.lit(0).cast("long")
+
+    # pass 2: window cumsum WITHIN each band (n_bands-way parallel)
+    w = Window.partitionBy("__band").orderBy(order_col)
+    cum = F.sum(F.col(n_tok_col).cast("long")).over(w) + off_col
+    out = (
+        df.withColumn("tok_end", cum)
+        .withColumn("tok_start", F.col("tok_end") - F.col(n_tok_col))
+        .withColumn("chunk_first", F.expr(f"tok_start div {int(chunk_tokens)}"))
+        .withColumn("chunk_last", F.expr(f"(tok_end - 1) div {int(chunk_tokens)}"))
+        .drop("__band")
+    )
+    return out
+
+
+def chunk_manifest(spans: DataFrame, chunk_tokens: int = 4096) -> DataFrame:
+    """Per-chunk manifest from chunk_token_stream's output: how many
+    documents contribute to each chunk and the exact token count each
+    chunk receives (== chunk_tokens everywhere except the final chunk).
+    One explode + one aggregation; a document spanning k chunks emits k
+    rows, so the explode fan-out is bounded by total_tokens/chunk_tokens
+    extra rows corpus-wide."""
+    c = int(chunk_tokens)
+    e = spans.select(
+        "tok_start", "tok_end",
+        F.explode(F.sequence("chunk_first", "chunk_last")).alias("chunk_id"),
+    )
+    contrib = (
+        F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * c)
+        - F.greatest(F.col("tok_start"), F.col("chunk_id") * c)
+    )
+    return (
+        e.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+        )
+    )

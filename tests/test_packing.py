@@ -1,0 +1,75 @@
+"""Token-stream chunking (operators/packing.py): the concat-and-chunk
+pretraining layout. The load-bearing property is band-independence --
+the banded two-pass prefix sum must produce the exact spans the global
+order defines, for ANY band count."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from stratum_spark.operators.packing import chunk_manifest, chunk_token_stream
+
+SCHEMA = "doc_id bigint, n_tok int"
+
+
+def _mkdocs(spark, n=400, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 40)) for i in range(n)]
+    return rows, spark.createDataFrame(rows, SCHEMA)
+
+
+def test_spans_match_serial_reference_and_bands_do_not_matter(spark):
+    rows, df = _mkdocs(spark)
+    C = 64
+    # serial reference: one pass over the global order
+    want, cum = {}, 0
+    for doc, nt in rows:
+        if nt <= 0:
+            continue
+        want[doc] = (cum, cum + nt, cum // C, (cum + nt - 1) // C)
+        cum += nt
+
+    for bands in (1, 4, 32):
+        got = {
+            r["doc_id"]: (r["tok_start"], r["tok_end"],
+                          r["chunk_first"], r["chunk_last"])
+            for r in chunk_token_stream(
+                df, chunk_tokens=C, n_bands=bands).collect()
+        }
+        assert got == want, f"n_bands={bands}"
+
+
+def test_manifest_exact_token_accounting(spark):
+    rows, df = _mkdocs(spark, n=300, seed=13)
+    C = 100
+    total = sum(nt for _, nt in rows if nt > 0)
+    spans = chunk_token_stream(df, chunk_tokens=C, n_bands=8)
+    m = {r["chunk_id"]: (r["n_docs"], r["n_tokens"])
+         for r in chunk_manifest(spans, chunk_tokens=C).collect()}
+    # contiguous chunk ids, every chunk exactly C tokens except the last
+    assert sorted(m) == list(range((total + C - 1) // C))
+    last = max(m)
+    for cid, (n_docs, n_tokens) in m.items():
+        assert n_docs >= 1
+        assert n_tokens == (C if cid != last else total - last * C)
+    assert sum(v[1] for v in m.values()) == total
+
+
+def test_zero_token_docs_drop_and_plan_has_no_global_window(spark):
+    df = spark.createDataFrame([(1, 0), (2, 5), (3, 0), (4, 3)], SCHEMA)
+    out = chunk_token_stream(df, chunk_tokens=4, n_bands=2)
+    got = {r["doc_id"]: (r["tok_start"], r["tok_end"]) for r in out.collect()}
+    assert got == {2: (0, 5), 4: (5, 8)}
+    # scale guard: the window must be partitioned (by band), never a
+    # single global-order window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__band" in plan
+
+
+def test_chunk_manifest_straddling_doc_counted_in_every_chunk(spark):
+    # one 10-token doc with C=3 straddles chunks 0..3
+    df = spark.createDataFrame([(1, 10)], SCHEMA)
+    spans = chunk_token_stream(df, chunk_tokens=3, n_bands=1)
+    m = {r["chunk_id"]: (r["n_docs"], r["n_tokens"])
+         for r in chunk_manifest(spans, chunk_tokens=3).collect()}
+    assert m == {0: (1, 3), 1: (1, 3), 2: (1, 3), 3: (1, 1)}
