@@ -422,6 +422,23 @@ def _q_pack_manifest(spark, sf):
     return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
 
 
+def _q_mix_token_budget(spark, sf):
+    """Pretraining-mix selection (operators/packing.py::take_token_budget):
+    from each source take documents in doc_id order until the source's
+    token budget is reached -- per-source window cumsum, deterministic
+    cut. Budgets: src0=800, src1=1200, every other source 700."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.operators.packing import take_token_budget
+    from stratum_spark.operators.textops import ws_tokens
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+    return take_token_budget(
+        docs, {"src0": 800, "src1": 1200}, default_budget=700
+    ).orderBy("doc_id").select("doc_id", "source", "n_tok")
+
+
 def _q_text_quality(spark, sf):
     from stratum_spark.operators.textops import quality_scores
 
@@ -819,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_tokens,
         "pack_token_chunks": _q_pack_chunks,
         "pack_chunk_manifest": _q_pack_manifest,
+        "mix_token_budget": _q_mix_token_budget,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1083,6 +1101,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT chunk_id, count(*) AS n_docs, "
             "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
             "FROM e GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        "mix_token_budget": (
+            "WITH d AS (SELECT doc_id, source, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok FROM documents), "
+            "p AS (SELECT doc_id, source, n_tok, CAST(sum(n_tok) OVER "
+            "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM d WHERE n_tok > 0) "
+            "SELECT doc_id, source, n_tok FROM p "
+            "WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200 ELSE 700 END "
+            "ORDER BY doc_id"
         ),
         "text_quality": (
             "WITH b AS (SELECT doc_id, length(text) AS n_chars, "

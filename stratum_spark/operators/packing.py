@@ -100,6 +100,46 @@ def chunk_token_stream(
     return out
 
 
+def take_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    n_tok_col: str = "n_tok",
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Pretraining-mix selection: from each source, take documents in
+    `order_col` order until that source's token budget is reached (the
+    "sample N tokens of code, M of web, ..." mixture step). A document
+    is kept iff the cumulative token count of its source up to AND
+    including it is <= the source's budget, so the cut is deterministic
+    and reproducible; sources absent from `budgets` get default_budget.
+
+    One window partitioned by source -- the per-source cumsum is the
+    partitioning Spark already parallelizes; no global order, no driver
+    loops. Skewed sources (one giant source = one giant window
+    partition) are the same skew the corpus itself has; for a single
+    source dominating the corpus, chunk_token_stream's banded prefix-sum
+    pattern applies instead.
+    """
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    cum = F.sum(F.col(n_tok_col).cast("long")).over(w)
+    pairs = []
+    for s, b in budgets.items():
+        pairs.extend([F.lit(s), F.lit(int(b))])
+    budget = (
+        F.coalesce(F.create_map(*pairs)[F.col(source_col)],
+                   F.lit(int(default_budget)))
+        if pairs else F.lit(int(default_budget))
+    )
+    return (
+        df.where(F.col(n_tok_col) > 0)
+        .withColumn("__cum", cum)
+        .where(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
 def chunk_manifest(spans: DataFrame, chunk_tokens: int = 4096) -> DataFrame:
     """Per-chunk manifest from chunk_token_stream's output: how many
     documents contribute to each chunk and the exact token count each

@@ -66,6 +66,26 @@ def test_zero_token_docs_drop_and_plan_has_no_global_window(spark):
     assert "__band" in plan
 
 
+def test_take_token_budget_cuts_each_source_deterministically(spark):
+    from stratum_spark.operators.packing import take_token_budget
+
+    rows = [
+        # source a: cum 10, 30, 60 -> budget 35 keeps docs 1, 2
+        (1, "a", 10), (2, "a", 20), (3, "a", 30),
+        # source b: cum 5, 10 -> default budget 6 keeps doc 4 only
+        (4, "b", 5), (5, "b", 5),
+        # zero-token docs never count against (or into) the budget
+        (6, "a", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    got = sorted(
+        r["doc_id"]
+        for r in take_token_budget(
+            df, {"a": 35}, default_budget=6).collect()
+    )
+    assert got == [1, 2, 4]
+
+
 def test_chunk_manifest_straddling_doc_counted_in_every_chunk(spark):
     # one 10-token doc with C=3 straddles chunks 0..3
     df = spark.createDataFrame([(1, 10)], SCHEMA)
