@@ -422,6 +422,35 @@ def _q_pack_manifest(spark, sf):
     return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
 
 
+def _q_text_repetition(spark, sf):
+    """Gopher-style repeated-3-gram ratio per document
+    (operators/textops.py::repetition_scores)."""
+    from stratum_spark.operators.textops import repetition_scores
+
+    return repetition_scores(_t(spark, sf, "documents"))
+
+
+def _q_text_pii_scrub(spark, sf):
+    """PII scrub over documents with a deterministic injected contact
+    line (the synthetic corpus contains no organic PII, so the gate
+    plants one email + one phone per doc on BOTH sides and the scrub
+    must find and redact exactly those)."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.operators.textops import pii_scrub
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), F.col("doc_id").cast("string"),
+            F.lit("@example.com +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
 def _q_mix_token_budget(spark, sf):
     """Pretraining-mix selection (operators/packing.py::take_token_budget):
     from each source take documents in doc_id order until the source's
@@ -837,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_chunks": _q_pack_chunks,
         "pack_chunk_manifest": _q_pack_manifest,
         "mix_token_budget": _q_mix_token_budget,
+        "text_repetition": _q_text_repetition,
+        "text_pii_scrub": _q_text_pii_scrub,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1101,6 +1132,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT chunk_id, count(*) AS n_docs, "
             "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
             "FROM e GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        # text_repetition: identical gram construction to the Spark side
+        # (slice clamps at the doc tail in both engines; short docs keep
+        # their single whole-doc gram).
+        "text_repetition": (
+            "WITH g AS (SELECT doc_id, list_transform("
+            "generate_series(1, greatest(len(w) - 2, 1)), i -> array_to_string(w[i:i+2], ' ')) AS grams "
+            "FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)) "
+            "SELECT doc_id, len(grams) AS n_grams, "
+            "len(list_distinct(grams)) AS n_distinct_grams, "
+            "round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4) AS rep_ratio, "
+            "(round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4) > 0.2) AS repetitive "
+            "FROM g"
+        ),
+        # text_pii_scrub: same injected contact line, same regexes (no
+        # lookarounds -- Java regex and RE2 agree), phones counted after
+        # email redaction.
+        "text_pii_scrub": (
+            "WITH d AS (SELECT doc_id, text || ' contact doc' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text "
+            "FROM documents), "
+            "s AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, "
+            "regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g') AS t1 "
+            "FROM d) "
+            "SELECT doc_id, n_emails, "
+            "len(regexp_extract_all(t1, '\\+?\\d[\\d\\-]{6,}\\d')) AS n_phones, "
+            "regexp_replace(t1, '\\+?\\d[\\d\\-]{6,}\\d', '[PHONE]', 'g') AS redacted "
+            "FROM s"
         ),
         "mix_token_budget": (
             "WITH d AS (SELECT doc_id, source, "

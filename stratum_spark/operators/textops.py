@@ -89,6 +89,57 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repeated n-gram ratio (the Gopher/MassiveText
+    repetition quality rule): 1 - distinct_grams/total_grams, high for
+    boilerplate/looping text. Pure projection -- no shuffle, no UDF;
+    the transform/slice lambdas run in Spark's interpreted expression
+    path (same trade as word_shingles; for a shuffle-based codegen
+    formulation at extreme scale, dedup.py::gram_frame + two counts).
+    Docs shorter than n tokens count their single whole-doc gram."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.round(
+        F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), 4)
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        ratio.alias("rep_ratio"),
+        (ratio > 0.2).alias("repetitive"),
+    )
+
+
+# PII patterns: no lookarounds, so the same source compiles identically
+# under Java regex (Spark) and RE2 (DuckDB) -- the oracle parity depends
+# on that.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+?\d[\d\-]{6,}\d"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass (the scrub stage every training-data pipeline
+    runs before tokenization): emails then phone-like digit runs are
+    replaced with typed placeholders, with per-doc match counts for the
+    pipeline's redaction-rate metrics. Phones are counted AFTER email
+    redaction so digits inside an address are never double-counted.
+    Pure projection; order of the two rules is part of the contract."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        t2.alias("redacted"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Canonical document fingerprint: md5 of the normalized text (the
     rolling-hash/fingerprint family; md5 chosen because every engine

@@ -154,6 +154,41 @@ def test_textops(spark, docs):
     assert fp.select("fingerprint").distinct().count() == docs.count()
 
 
+def test_repetition_scores_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # grams: "a b a","b a b","a b a","b a b" -> 4 total, 2 distinct
+            (2, "w x y z"),          # 2 grams, both distinct
+            (3, "hi"),               # shorter than n: 1 whole-doc gram
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.repetition_scores(df, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["n_distinct_grams"]) == (4, 2)
+    assert got[1]["rep_ratio"] == 0.5 and got[1]["repetitive"]
+    assert (got[2]["n_grams"], got[2]["n_distinct_grams"]) == (2, 2)
+    assert got[2]["rep_ratio"] == 0.0 and not got[2]["repetitive"]
+    assert (got[3]["n_grams"], got[3]["n_distinct_grams"]) == (1, 1)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@corp.example.org or +1-555-0123 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.io one phone 555-123-4567"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert got[1]["redacted"] == "mail me at [EMAIL] or [PHONE] ok"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+    assert got[2]["redacted"] == "no pii here at all"
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 1)
+    assert got[3]["redacted"] == "two mails [EMAIL] [EMAIL] one phone [PHONE]"
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.synth_media(docs)
     feats = multimodal.extract_features(media)
