@@ -422,6 +422,21 @@ def _q_pack_manifest(spark, sf):
     return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/dedup.py::contamination_pairs):
+    the 'benchmark' is the doc_id % 50 == 0 slice of the corpus; report
+    corpus docs sharing >= 3 distinct 3-grams with any benchmark doc
+    (self-matches excluded). The benchmark side broadcasts."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.operators.dedup import contamination_pairs
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(docs, bench, n=3, min_shared=3).orderBy(
+        "doc_id", "bench_id")
+
+
 def _q_text_repetition(spark, sf):
     """Gopher-style repeated-3-gram ratio per document
     (operators/textops.py::repetition_scores)."""
@@ -868,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_token_budget": _q_mix_token_budget,
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
+        "decontaminate": _q_decontaminate,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1132,6 +1148,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT chunk_id, count(*) AS n_docs, "
             "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
             "FROM e GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        # decontaminate: distinct-3-gram overlap between every corpus doc
+        # and the doc_id % 50 == 0 benchmark slice, self-matches excluded.
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS gs "
+            "FROM toks), "
+            "inv AS (SELECT doc_id, unnest(gs) AS g FROM sh), "
+            "binv AS (SELECT doc_id AS bench_id, g FROM inv WHERE doc_id % 50 = 0) "
+            "SELECT a.doc_id, b.bench_id, count(*) AS shared "
+            "FROM inv a JOIN binv b ON a.g = b.g AND a.doc_id <> b.bench_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_id, bench_id"
         ),
         # text_repetition: identical gram construction to the Spark side
         # (slice clamps at the doc tail in both engines; short docs keep

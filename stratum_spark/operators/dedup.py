@@ -106,6 +106,32 @@ def _verify_jaccard_counts(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame, bench: DataFrame, n: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share at least
+    `min_shared` DISTINCT word n-grams with which benchmark documents --
+    the pre-training leakage check run before an eval set is trusted.
+    Returns (doc_id, bench_id, shared); self-matches (same id on both
+    sides, e.g. when the benchmark is carved out of the corpus) are
+    excluded.
+
+    Scale shape: an eval benchmark is tiny by definition, so its gram
+    posting list BROADCASTS and the corpus grams stream map-side through
+    the broadcast hash join -- the corpus side is never shuffled, no
+    posting self-join, no all-pairs anything. The per-pair aggregation
+    shuffles only the matched (doc_id, bench_id) rows, bounded by
+    |bench grams| x their corpus document frequency."""
+    cg = gram_frame(corpus, n)
+    bg = gram_frame(bench, n).withColumnRenamed("doc_id", "bench_id")
+    j = cg.join(F.broadcast(bg), "g").where(F.col("doc_id") != F.col("bench_id"))
+    return (
+        j.groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, tau: float = 0.05, max_df: int = 10_000
 ) -> DataFrame:

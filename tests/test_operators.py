@@ -154,6 +154,36 @@ def test_textops(spark, docs):
     assert fp.select("fingerprint").distinct().count() == docs.count()
 
 
+def test_contamination_pairs_planted_leak(spark):
+    from stratum_spark.operators.dedup import contamination_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # leaked verbatim
+            (2, "totally unrelated words apple banana cherry date"),
+            (3, "quick brown fox jumps high today"),  # partial overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_id"], r["bench_id"]): r["shared"]
+           for r in contamination_pairs(corpus, bench, n=3, min_shared=2).collect()}
+    # doc 1 is a verbatim leak (all 7 distinct 3-grams shared); doc 3
+    # shares 'quick brown fox' + 'brown fox jumps'; doc 2 shares nothing
+    assert got == {(1, 100): 7, (3, 100): 2}
+    # self-matches excluded when the benchmark is carved out of the corpus
+    got_self = contamination_pairs(corpus, corpus.where("doc_id = 1"),
+                                   n=3, min_shared=1).collect()
+    assert all(r["doc_id"] != r["bench_id"] for r in got_self)
+    # scale shape: the bench side must broadcast (no corpus-gram shuffle)
+    plan = contamination_pairs(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repetition_scores_known_values(spark):
     df = spark.createDataFrame(
         [
