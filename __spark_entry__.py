@@ -422,6 +422,18 @@ def _q_pack_manifest(spark, sf):
     return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
 
 
+def _q_shuffle_shards(spark, sf):
+    """Deterministic corpus shuffle + shard assignment
+    (operators/packing.py::shuffle_shards): md5-keyed global rank via
+    the banded two-pass prefix sum, shard = rank % 8. Oracle: DuckDB
+    row_number over the same md5 order."""
+    from stratum_spark.operators.packing import shuffle_shards
+
+    return shuffle_shards(
+        _t(spark, sf, "documents").select("doc_id"), n_shards=8
+    ).orderBy("doc_id").select("doc_id", "rank", "shard", "pos_in_shard")
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark decontamination (operators/dedup.py::contamination_pairs):
     the 'benchmark' is the doc_id % 50 == 0 slice of the corpus; report
@@ -884,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
         "decontaminate": _q_decontaminate,
+        "shuffle_shards": _q_shuffle_shards,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1148,6 +1161,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT chunk_id, count(*) AS n_docs, "
             "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
             "FROM e GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        # shuffle_shards: rank by the same md5-prefix key (engines agree
+        # on md5 byte-for-byte; the 60-bit prefix parses identically).
+        "shuffle_shards": (
+            "WITH h AS (SELECT doc_id, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey "
+            "FROM documents), "
+            "r AS (SELECT doc_id, row_number() OVER (ORDER BY hkey, doc_id) - 1 AS rank "
+            "FROM h) "
+            "SELECT doc_id, rank, rank % 8 AS shard, rank // 8 AS pos_in_shard "
+            "FROM r ORDER BY doc_id"
         ),
         # decontaminate: distinct-3-gram overlap between every corpus doc
         # and the doc_id % 50 == 0 benchmark slice, self-matches excluded.

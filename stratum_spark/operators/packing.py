@@ -35,6 +35,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _banded_prefix(df, order_cols, weight, n_bands: int):
+    """The two-pass distributed prefix sum shared by the ops below: adds
+    `__cum`, the inclusive cumulative `weight` over the global order
+    defined by `order_cols` (the first of which must be numeric; later
+    ones are tie-breaks). Bands come from approxQuantile cuts on the
+    first order column (one tiny job); per-band totals aggregate to the
+    driver (O(n_bands) rows), prefix-sum there, and the per-row cumsum
+    is a window PARTITIONED BY band -- n_bands-way parallel, never a
+    one-partition global window. The `__cum` values are band-placement-
+    independent: rows equal to a cut all land in the same (lower) band,
+    so (band, *order_cols) order == global (*order_cols) order."""
+    first = F.col(order_cols[0]).cast("double")
+    cuts: list[float] = []
+    if n_bands > 1:
+        qs = [i / n_bands for i in range(1, n_bands)]
+        # the cut VALUES don't matter for correctness (any banding yields
+        # the same output), only for balance
+        cuts = sorted(set(df.stat.approxQuantile(order_cols[0], qs, 0.001)))
+    if cuts:
+        band = F.size(F.filter(
+            F.array(*[F.lit(float(c)) for c in cuts]), lambda c: c < first
+        ))
+    else:
+        band = F.lit(0)
+    df = df.withColumn("__band", band)
+
+    totals = {
+        r["__band"]: r["s"]
+        for r in df.groupBy("__band").agg(F.sum(weight).alias("s")).collect()
+    }
+    offsets, running = {}, 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    if offsets:
+        pairs = []
+        for b, off in offsets.items():
+            pairs.extend([F.lit(b), F.lit(off)])
+        off_col = F.create_map(*pairs)[F.col("__band")]
+    else:
+        off_col = F.lit(0).cast("long")
+
+    w = Window.partitionBy("__band").orderBy(*order_cols)
+    return df.withColumn("__cum", F.sum(weight).over(w) + off_col)
+
+
 def chunk_token_stream(
     df: DataFrame,
     n_tok_col: str = "n_tok",
@@ -53,51 +99,51 @@ def chunk_token_stream(
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be positive")
     df = df.where(F.col(n_tok_col) > 0)
-
-    ord_d = F.col(order_col).cast("double")
-    cuts: list[float] = []
-    if n_bands > 1:
-        qs = [i / n_bands for i in range(1, n_bands)]
-        # one tiny job; the cut VALUES don't matter for correctness (any
-        # banding yields the same output), only for balance
-        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
-    if cuts:
-        band = F.size(F.filter(
-            F.array(*[F.lit(float(c)) for c in cuts]), lambda c: c < ord_d
-        ))
-    else:
-        band = F.lit(0)
-    df = df.withColumn("__band", band)
-
-    # pass 1: per-band token totals -- O(n_bands) rows to the driver
-    totals = {
-        r["__band"]: r["s"]
-        for r in df.groupBy("__band").agg(
-            F.sum(F.col(n_tok_col).cast("long")).alias("s")).collect()
-    }
-    offsets, running = {}, 0
-    for b in sorted(totals):
-        offsets[b] = running
-        running += totals[b]
-    if offsets:
-        pairs = []
-        for b, off in offsets.items():
-            pairs.extend([F.lit(b), F.lit(off)])
-        off_col = F.create_map(*pairs)[F.col("__band")]
-    else:
-        off_col = F.lit(0).cast("long")
-
-    # pass 2: window cumsum WITHIN each band (n_bands-way parallel)
-    w = Window.partitionBy("__band").orderBy(order_col)
-    cum = F.sum(F.col(n_tok_col).cast("long")).over(w) + off_col
-    out = (
-        df.withColumn("tok_end", cum)
+    out = _banded_prefix(
+        df, [order_col], F.col(n_tok_col).cast("long"), n_bands)
+    return (
+        out.withColumn("tok_end", F.col("__cum"))
         .withColumn("tok_start", F.col("tok_end") - F.col(n_tok_col))
         .withColumn("chunk_first", F.expr(f"tok_start div {int(chunk_tokens)}"))
         .withColumn("chunk_last", F.expr(f"(tok_end - 1) div {int(chunk_tokens)}"))
-        .drop("__band")
+        .drop("__band", "__cum")
     )
-    return out
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "",
+    n_bands: int = 32,
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment (the
+    pre-training "global shuffle" that breaks source/crawl locality
+    before sharding to data-loader workers): rank every row by a keyed
+    md5 order -- reproducible, salt-able per epoch -- then
+    shard = rank % n_shards and pos_in_shard = rank // n_shards, so
+    shards are balanced to within one row and the within-shard order is
+    itself shuffled. The rank is the same banded two-pass prefix sum as
+    chunk_token_stream (weight 1 = a distributed row_number); no global
+    window, no driver-side sort. md5 (not xxhash64) because every engine
+    agrees on it byte-for-byte, which is what makes the result
+    oracle-checkable and portable."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    out = _banded_prefix(
+        df.withColumn("__hkey", hkey),
+        ["__hkey", id_col], F.lit(1).cast("long"), n_bands)
+    return (
+        out.withColumn("rank", F.col("__cum") - 1)
+        .withColumn("shard", F.col("rank") % n_shards)
+        .withColumn("pos_in_shard", F.expr(f"rank div {int(n_shards)}"))
+        .drop("__band", "__cum", "__hkey")
+    )
 
 
 def take_token_budget(

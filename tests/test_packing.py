@@ -86,6 +86,32 @@ def test_take_token_budget_cuts_each_source_deterministically(spark):
     assert got == [1, 2, 4]
 
 
+def test_shuffle_shards_balanced_deterministic_and_salted(spark):
+    from stratum_spark.operators.packing import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    a = {r["doc_id"]: (r["rank"], r["shard"], r["pos_in_shard"])
+         for r in shuffle_shards(df, n_shards=8, n_bands=4).collect()}
+    # a permutation: ranks are exactly 0..99; shards balanced within 1
+    assert sorted(r for r, _, _ in a.values()) == list(range(100))
+    by_shard = {}
+    for _, s, _ in a.values():
+        by_shard[s] = by_shard.get(s, 0) + 1
+    assert set(by_shard) == set(range(8))
+    assert max(by_shard.values()) - min(by_shard.values()) <= 1
+    # the order is shuffled, not identity
+    assert [a[i][0] for i in range(100)] != list(range(100))
+    # deterministic: bands don't matter; same salt -> same permutation
+    b = {r["doc_id"]: (r["rank"], r["shard"], r["pos_in_shard"])
+         for r in shuffle_shards(df, n_shards=8, n_bands=1).collect()}
+    assert a == b
+    # a different salt is a different permutation
+    c = {r["doc_id"]: r["rank"]
+         for r in shuffle_shards(df, n_shards=8, salt="epoch1").collect()}
+    assert c != {k: v[0] for k, v in a.items()}
+    assert sorted(c.values()) == list(range(100))
+
+
 def test_chunk_manifest_straddling_doc_counted_in_every_chunk(spark):
     # one 10-token doc with C=3 straddles chunks 0..3
     df = spark.createDataFrame([(1, 10)], SCHEMA)
