@@ -422,6 +422,30 @@ def _q_pack_manifest(spark, sf):
     return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
 
 
+def _q_vocab_build(spark, sf):
+    """Frequency-vocab construction (operators/tokenize.py::build_vocab):
+    top-20 corpus words, ids 1..20 by (count desc, word asc)."""
+    from stratum_spark.operators.tokenize import build_vocab
+
+    return build_vocab(_t(spark, sf, "documents"), vocab_size=20).orderBy(
+        "token_id").select("token_id", "w", "n")
+
+
+def _q_tokenize_ids(spark, sf):
+    """Tokenization through the 20-word vocab, exploded to scalar rows
+    (doc_id, pos, token_id) for the oracle compare; OOV words (the
+    corpus has ~31 distinct words, so 11+ are out-of-vocab) map to 0."""
+    from pyspark.sql import functions as F
+
+    from stratum_spark.operators.tokenize import build_vocab, tokenize
+
+    docs = _t(spark, sf, "documents")
+    out = tokenize(docs, build_vocab(docs, vocab_size=20))
+    return out.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token_id")
+    ).orderBy("doc_id", "pos")
+
+
 def _q_shuffle_shards(spark, sf):
     """Deterministic corpus shuffle + shard assignment
     (operators/packing.py::shuffle_shards): md5-keyed global rank via
@@ -897,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "decontaminate": _q_decontaminate,
         "shuffle_shards": _q_shuffle_shards,
+        "vocab_build": _q_vocab_build,
+        "tokenize_ids": _q_tokenize_ids,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1161,6 +1187,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT chunk_id, count(*) AS n_docs, "
             "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
             "FROM e GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        # vocab_build / tokenize_ids: frequency vocab (ties broken by
+        # word asc -- deterministic in both engines) and the id mapping
+        # through it, exploded to scalar rows. pos is 0-based to match
+        # Spark's posexplode.
+        "vocab_build": (
+            "WITH wc AS (SELECT w, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w "
+            "FROM documents) GROUP BY w) "
+            "SELECT row_number() OVER (ORDER BY n DESC, w) AS token_id, w, n "
+            "FROM wc ORDER BY n DESC, w LIMIT 20"
+        ),
+        "tokenize_ids": (
+            "WITH wc AS (SELECT w, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w "
+            "FROM documents) GROUP BY w), "
+            "v AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) AS token_id "
+            "FROM wc ORDER BY n DESC, w LIMIT 20), "
+            "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws "
+            "FROM documents), "
+            "e AS (SELECT doc_id, unnest(generate_series(1, len(ws))) - 1 AS pos, "
+            "unnest(ws) AS w FROM t) "
+            "SELECT doc_id, pos, coalesce(v.token_id, 0) AS token_id "
+            "FROM e LEFT JOIN v USING (w) ORDER BY doc_id, pos"
         ),
         # shuffle_shards: rank by the same md5-prefix key (engines agree
         # on md5 byte-for-byte; the 60-bit prefix parses identically).
