@@ -422,6 +422,18 @@ def _q_pack_manifest(spark, sf):
     return chunk_manifest(spans, chunk_tokens=512).orderBy("chunk_id")
 
 
+def _q_dedup_clusters(spark, sf):
+    """Duplicate-cluster resolution (operators/dedup.py::dup_clusters):
+    connected components over the exact n-gram Jaccard pairs (same
+    params as dedup_ngram_jaccard), each doc labeled with its
+    component's min doc id -- the canonical survivor. Oracle: DuckDB
+    recursive CTE computing min-reachable over the same pairs."""
+    from stratum_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, tau=0.12)
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
 def _q_vocab_build(spark, sf):
     """Frequency-vocab construction (operators/tokenize.py::build_vocab):
     top-20 corpus words, ids 1..20 by (count desc, word asc)."""
@@ -923,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": _q_shuffle_shards,
         "vocab_build": _q_vocab_build,
         "tokenize_ids": _q_tokenize_ids,
+        "dedup_clusters": _q_dedup_clusters,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1187,6 +1200,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT chunk_id, count(*) AS n_docs, "
             "CAST(sum(least(tok_end, (chunk_id + 1) * 512) - greatest(tok_start, chunk_id * 512)) AS BIGINT) AS n_tokens "
             "FROM e GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        # dedup_clusters: min-reachable-id connected components over the
+        # SAME exact-Jaccard pairs as dedup_ngram_jaccard, via recursive
+        # CTE (terminates: UNION dedups the reach set).
+        "dedup_clusters": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS gs "
+            "FROM toks), "
+            "inv AS (SELECT doc_id, len(gs) AS n_sh, unnest(gs) AS g FROM sh), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
+            "count(*) AS common FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2, 3, 4), "
+            "dup AS (SELECT doc_a, doc_b FROM pairs "
+            "WHERE common * 1.0 / (na + nb - common) >= 0.12), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup "
+            "UNION SELECT doc_b, doc_a FROM dup), "
+            "reach AS (SELECT src AS node, src AS r FROM edges "
+            "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node) "
+            "SELECT node AS doc_id, min(r) AS cluster FROM reach "
+            "GROUP BY node ORDER BY doc_id"
         ),
         # vocab_build / tokenize_ids: frequency vocab (ties broken by
         # word asc -- deterministic in both engines) and the id mapping

@@ -106,6 +106,63 @@ def _verify_jaccard_counts(
     )
 
 
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    PAIRS (from ngram_jaccard_pairs / minhash_lsh_pairs / ...), returning
+    (doc_id, cluster) where cluster is the minimum doc id in the
+    component -- the canonical representative a dedup pipeline keeps
+    while dropping the rest.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; stop when a
+    round changes nothing. Rounds needed = component diameter -- small
+    for near-dup clusters, which are dense by construction (a dup pair's
+    shared shingles make the cluster near-cliquey). Each round is one
+    join + one aggregate over the EDGE list (pairs only, never the
+    corpus); labels persist round-to-round and unpersist behind
+    themselves. For adversarial long-chain graphs at extreme scale the
+    large-star/small-star reformulation (Kiveris et al., public
+    CC-in-MapReduce literature) halves rounds to O(log n); the dense
+    near-dup regime converges in a handful either way. Raises if
+    max_iter rounds don't converge rather than returning wrong labels."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nbl"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds -- "
+        "pathological chain graph; raise max_iter or use star-contraction")
+
+
 def contamination_pairs(
     corpus: DataFrame, bench: DataFrame, n: int = 3, min_shared: int = 2
 ) -> DataFrame:

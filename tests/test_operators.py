@@ -154,6 +154,22 @@ def test_textops(spark, docs):
     assert fp.select("fingerprint").distinct().count() == docs.count()
 
 
+def test_dup_clusters_planted_components(spark):
+    from stratum_spark.operators.dedup import dup_clusters
+
+    # component A: chain 1-2-3-4 (worst diameter); B: triangle 10,11,12;
+    # C: pair 20-21. Non-dup docs never appear in pairs, so no row.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # survivors-to-keep = one canonical per cluster
+    assert sorted({v for v in got.values()}) == [1, 10, 20]
+
+
 def test_contamination_pairs_planted_leak(spark):
     from stratum_spark.operators.dedup import contamination_pairs
 
