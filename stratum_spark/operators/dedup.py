@@ -118,24 +118,32 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     round takes the min of its own and its neighbors' labels; stop when a
     round changes nothing. Rounds needed = component diameter -- small
     for near-dup clusters, which are dense by construction (a dup pair's
-    shared shingles make the cluster near-cliquey). Each round is one
-    join + one aggregate over the EDGE list (pairs only, never the
-    corpus); labels persist round-to-round and unpersist behind
-    themselves. For adversarial long-chain graphs at extreme scale the
-    large-star/small-star reformulation (Kiveris et al., public
-    CC-in-MapReduce literature) halves rounds to O(log n); the dense
-    near-dup regime converges in a handful either way. Raises if
-    max_iter rounds don't converge rather than returning wrong labels."""
+    shared shingles make the cluster near-cliquey). For adversarial
+    long-chain graphs at extreme scale the large-star/small-star
+    reformulation (Kiveris et al., public CC-in-MapReduce literature)
+    halves rounds to O(log n); the dense near-dup regime converges in a
+    handful either way. Raises if max_iter rounds don't converge rather
+    than returning wrong labels.
+
+    Lineage discipline (the part that makes iteration viable on Spark):
+    edges and each round's labels are localCheckpoint()ed, not merely
+    persisted. A persist caches DATA but the logical plan keeps nesting
+    -- with the changed-count self-join the tree DOUBLES per round on
+    top of whatever expensive upstream produced the pairs, and the
+    analyzer blows up long before the data does. The checkpoint
+    truncates lineage so every round's plan is O(1) deep and references
+    only the materialized edge/label blocks. (localCheckpoint trades
+    executor-loss recoverability for speed -- the right trade for a
+    short-lived label table; recompute-from-pairs is the recovery.)"""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -147,13 +155,12 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                 "node",
                 F.least(F.col("label"), F.coalesce("nbl", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.alias("n").join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label")).count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             return labels.select(F.col("node").alias("doc_id"),
