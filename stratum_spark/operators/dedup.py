@@ -114,16 +114,17 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     component -- the canonical representative a dedup pipeline keeps
     while dropping the rest.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round takes the min of its own and its neighbors' labels; stop when a
-    round changes nothing. Rounds needed = component diameter -- small
-    for near-dup clusters, which are dense by construction (a dup pair's
-    shared shingles make the cluster near-cliquey). For adversarial
-    long-chain graphs at extreme scale the large-star/small-star
-    reformulation (Kiveris et al., public CC-in-MapReduce literature)
-    halves rounds to O(log n); the dense near-dup regime converges in a
-    handful either way. Raises if max_iter rounds don't converge rather
-    than returning wrong labels.
+    Min-label propagation WITH pointer jumping: every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels, then follows its label's label (the classic
+    shortcutting step), so label distances HALVE per round and
+    convergence is O(log diameter) -- a 10^6-long pathological chain
+    needs ~20 rounds, and the dense near-dup clusters this is built for
+    converge in 2-3. (The large-star/small-star reformulation from the
+    public CC-in-MapReduce literature, Kiveris et al., achieves the same
+    bound by rewriting edges; jumping keeps the edge list immutable,
+    which is cheaper here.) Raises if max_iter rounds don't converge
+    rather than returning wrong labels.
 
     Lineage discipline (the part that makes iteration viable on Spark):
     edges and each round's labels are localCheckpoint()ed, not merely
@@ -149,11 +150,19 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nbl"))
         )
+        cand = labels.join(nbr, labels.node == nbr.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbl", "label")).alias("label"),
+        )
+        # pointer jumping: adopt my label's (possibly smaller) label --
+        # every label IS a node id, so the inner self-join matches
+        # exactly once per row
         new = (
-            labels.join(nbr, labels.node == nbr.src, "left")
+            cand.alias("a")
+            .join(cand.alias("b"), F.col("a.label") == F.col("b.node"))
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbl", "label")).alias("label"),
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.label"), F.col("b.label")).alias("label"),
             )
             .localCheckpoint()
         )

@@ -170,6 +170,18 @@ def test_dup_clusters_planted_components(spark):
     assert sorted({v for v in got.values()}) == [1, 10, 20]
 
 
+def test_dup_clusters_long_chain_converges_in_log_rounds(spark):
+    """Pointer jumping makes convergence O(log diameter): a 200-node
+    chain (diameter 199) must converge well inside the default 25-round
+    cap -- without the shortcutting step it needs 199 rounds."""
+    from stratum_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(200)}
+
+
 def test_contamination_pairs_planted_leak(spark):
     from stratum_spark.operators.dedup import contamination_pairs
 
