@@ -237,15 +237,44 @@ def ngram_jaccard_pairs(
     posting set. The result set is identical to the pre-prune formulation
     by construction: only pairs whose shared shingles are ALL above max_df
     can be missed (near-dup pairs share many shingles, so rare ones too).
-    Candidates shuffle as ids + counts only."""
-    inv = gram_frame(docs, n)
-    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    Candidates shuffle as ids + counts only.
+
+    Materialization discipline: inv and n_sh feed 3-6 plan branches (df
+    cap, anti-join, self-join, per-side stats, recheck); left lazy each
+    branch RE-RUNS the shingle pipeline -- the round-6 driver plan held
+    12 copies of gram_frame (408 nodes, 108 Exchanges). Both frames are
+    localCheckpoint()ed so the shingle pass runs ONCE per call (the same
+    lineage discipline dup_clusters uses; recompute-from-docs is the
+    executor-loss recovery). When no gram exceeds max_df -- known from
+    the materialized index for the cost of one tiny aggregate -- kept ==
+    inv, every candidate's ck is already exact, and the recheck branch
+    is empty by construction, so the anti-join and the recheck union are
+    skipped outright instead of scheduling their no-op joins."""
+    inv = gram_frame(docs, n).localCheckpoint()
+    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint()
     hot = (
         inv.groupBy("g")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > max_df)
         .select("g")
     )
+    if hot.isEmpty():
+        a, b = inv.alias("a"), inv.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("ck"))
+        )
+        na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        withn = common.join(na, "doc_a").join(nb, "doc_b")
+        jac = F.col("ck").cast("double") / (F.col("na") + F.col("nb") - F.col("ck"))
+        return withn.where(jac >= tau).select(
+            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        )
     kept = inv.join(F.broadcast(hot), "g", "left_anti")
     n_kept = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
     a, b = kept.alias("a"), kept.alias("b")
@@ -312,10 +341,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup candidates via banded MinHash LSH, verified with exact
     Jaccard (the standard shingle->minhash->band->bucket-join pipeline).
-    Returns (doc_a, doc_b, jaccard) for verified candidates."""
+    Returns (doc_a, doc_b, jaccard) for verified candidates.
+
+    inv / n_sh are localCheckpoint()ed: the shingle pipeline otherwise
+    re-runs once per plan branch (signatures, both verify sides, both
+    stat sides -- 4-6 copies in the round-6 plan); the band frame too,
+    since the candidate self-join evaluates it twice."""
     r = k // bands
-    inv = gram_frame(docs, n)
-    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inv = gram_frame(docs, n).localCheckpoint()
+    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint()
     mins = _minhash_mins(inv, k)
     # band rows carry (doc_id, band, bh) ONLY -- shared-gram counts join
     # after candidate dedup (_verify_jaccard_counts), so the (band-key) shuffle
@@ -336,7 +370,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,
@@ -470,7 +506,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, token_hash=None) -> Dat
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(
+        "doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    ).localCheckpoint()  # the self-join below evaluates this frame twice;
+    # checkpointing runs the signature pipeline once (n_docs x n_bands rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
