@@ -41,17 +41,24 @@ def brute_force_topk(
     """Exact cosine top-k: the first n_queries ids (by id order) are the
     query set, searched against all OTHER vectors. Deterministic tie-break
     (sim desc, neighbor id asc). Returns (query_id, neighbor_id, sim, rank)."""
+    # cast + norm are hoisted to one projection PER VECTOR before the
+    # 1-to-n_queries join, instead of recomputing them per PAIR inside
+    # cosine() -- same doubles, same fold order, bit-identical sims
     q = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     sims = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -94,7 +101,13 @@ def _bucket_frame(
     2001)/1000, summed per plane in a single partial-agg pass. The nested
     zip_with/aggregate formulation evaluates in Spark's interpreted
     expression path (outside whole-stage codegen) and measured ~10x slower;
-    this shape keeps every operator codegen'd and map-side combined."""
+    this shape keeps every operator codegen'd and map-side combined.
+
+    (Round-7 note: a single-explosion variant -- groupBy(id) with all
+    n_tables x n_planes plane sums as one wide agg -- was A/B'd
+    value-identical but 2-3x SLOWER here (0.8s -> 1.8s+ noop at sf0.1):
+    the 64-expression aggregate falls out of whole-stage codegen. The
+    narrow 2-agg form below stays codegen'd; kept.)"""
     d = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),
@@ -135,7 +148,13 @@ def lsh_topk(
     (OR-amplification: candidate if the pair collides in ANY of n_tables
     independent sign-bucket tables), exact cosine within candidates.
     The 100 TB path: shuffle keyed on (table, bucket) instead of a cross
-    product; recall tuned by (n_planes, n_tables)."""
+    product; recall tuned by (n_planes, n_tables).
+
+    (sigd deliberately NOT checkpointed: the query branch's id filter
+    pushes below the aggregate to the scan, so its re-evaluation reads
+    n_queries rows -- an A/B measured the blocking materialization net
+    slower, 1.08-1.49s vs 0.94-1.28s at sf0.1. embedding_neardup_pairs,
+    whose self-join re-runs the FULL frame twice, does checkpoint.)"""
     sigd = _bucket_frame(emb, n_tables, n_planes, seed, id_col, vec_col)
     q = sigd.where(F.col("id") < n_queries).select(
         F.col("id").alias("query_id"),
@@ -155,17 +174,24 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # cast + norm hoisted per VECTOR ahead of the candidate join (the
+    # exact-verify stage computes cosine once per candidate pair; norms
+    # are per-vector quantities) -- same doubles, bit-identical sims
     qv = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     sims = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -203,7 +229,11 @@ def embedding_neardup_pairs(
             .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
             .where(F.col("sim") >= tau)
         )
-    sigd = _bucket_frame(emb, n_tables, n_planes, seed, "vec_id", "embedding")
+    # the a/b self-join below evaluates the signature frame twice --
+    # checkpoint it so the plane-sum aggregation runs once per call
+    sigd = _bucket_frame(
+        emb, n_tables, n_planes, seed, "vec_id", "embedding"
+    ).localCheckpoint()
     a, b = sigd.alias("a"), sigd.alias("b")
     cand = (
         a.join(
@@ -215,10 +245,23 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # cast + norm hoisted per vector (see brute_force_topk) -- same
+    # doubles, bit-identical sims
+    a_h = emb.select(
+        F.col("vec_id").alias("id_a"), _dbl(F.col("embedding")).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b_h = emb.select(
+        F.col("vec_id").alias("id_b"), _dbl(F.col("embedding")).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     return (
-        cand.join(a_ids, "id_a")
-        .join(b_ids, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        cand.join(a_h, "id_a")
+        .join(b_h, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
         .where(F.col("sim") >= tau)
     )
 
@@ -323,19 +366,23 @@ def ivf_topk(
     lever for boundary vectors -- storage x n_assign, recall approaches
     exact search much faster than raising nprobe alone."""
     centroids = ivf_train(emb, n_clusters, iters, id_col, vec_col, seed)
+    # cast + norm hoisted per vector (see brute_force_topk) -- same
+    # doubles, bit-identical sims
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        _dbl(F.col(vec_col)).alias("cv"),
         F.explode(
             _assign_topn_expr(F.col(vec_col), centroids, n_assign)
         ).alias("cluster"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     q = (
         emb.where(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn(
             "cluster", F.explode(_assign_topn_expr(F.col("qv"), centroids, nprobe))
         )
+        .select("query_id", _dbl(F.col("qv")).alias("qv"), "cluster")
+        .withColumn("qn", norm(F.col("qv")))
     )
     sims = (
         F.broadcast(q)
@@ -346,7 +393,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     if n_assign > 1:
