@@ -118,14 +118,22 @@ def _q_multi_join(spark, sf):
 
 
 def _q_left_join_agg(spark, sf):
+    # Round 7: aggregate orders BEFORE the join (guide: aggregate before
+    # you shuffle). The old join-then-groupBy shuffled every order row
+    # through the join; pre-aggregating reduces the join's probe side to
+    # one row per customer, and count/sum distribute over the per-key
+    # groups (count(o_orderkey) counts non-null rows either way; a
+    # no-order customer gets NULL from the left join -> coalesce 0, where
+    # the old plan counted zero non-null rows). A/B'd exceptAll-identical
+    # + same schema at sf0.1; oracle SQL unchanged.
     c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
-        )
+    po = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n"), F.sum("o_totalprice").alias("__s")
+    )
+    return c.join(po, c.c_custkey == po.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("n_orders"),
+        F.round(F.coalesce(F.col("__s"), F.lit(0.0)), 2).alias("spend"),
     )
 
 
@@ -233,13 +241,28 @@ def _q_keyset_pagination(spark, sf):
 
 
 def _q_window_lww(spark, sf):
-    # §2.5 the LWW dedup window: latest event per user (row_number desc == 1)
+    # §2.5 the LWW dedup window: latest event per user. Round 7: computed
+    # as groupBy + max_by(struct) -- a hash aggregate with map-side partial
+    # aggregation (each input partition pre-combines to one row per user
+    # BEFORE the exchange; no sort at all) instead of the row_number
+    # window's sort + WindowGroupLimit. Same shape cdc/dedup.py::lww_dedup
+    # uses for the engine's own LWW for exactly this reason. The winner is
+    # unique (event_id is unique within a user), so max_by(struct(ts,
+    # event_id)) selects the identical row the rn==1 filter did -- A/B'd
+    # exceptAll-identical both ways at sf0.1, and the oracle SQL still
+    # states the window formulation. ~2x measured (0.40s -> 0.20s).
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    win = F.max_by(
+        F.struct("event_id", "event_type"), F.struct("ts", "event_id")
+    ).alias("__w")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
+        e.groupBy("user_id")
+        .agg(win)
+        .select(
+            "user_id",
+            F.col("__w.event_id").alias("event_id"),
+            F.col("__w.event_type").alias("event_type"),
+        )
     )
 
 
@@ -297,28 +320,40 @@ def _q_agg_pricing(spark, sf):
 
 def _q_merge_upsert_sim(spark, sf):
     # the MERGE upsert/delete semantics as a pure relational query (the lake
-    # implementation is exercised by pytest; this is the oracle-checkable form)
+    # implementation is exercised by pytest + the cdc_* gates; this is the
+    # oracle-checkable form).
+    #
+    # Round 7 -- join elimination via key uniqueness (guide §8: use what
+    # you know that the optimizer does not): both sides of the original
+    # full_outer join are disjoint projections OF THE SAME orders scan
+    # keyed by o_orderkey, which is unique (the TPC-H primary key at every
+    # SF). A full outer self-join of two filtered projections of a unique
+    # key is row-for-row the single scan with both filters evaluated
+    # per row: tprice/sprice/op are present iff the row passes the
+    # respective filter, NULL otherwise. The rewrite computes exactly
+    # that -- one scan, zero exchanges, versus two scans + a full-outer
+    # shuffle join. A/B'd exceptAll-identical + same schema at sf0.1
+    # (~0.35s -> ~0.17s); the oracle SQL still states (and DuckDB still
+    # executes) the full-outer-join form, so the gate keeps proving the
+    # equivalence on every run.
     o = _t(spark, sf, "orders")
-    target = o.where(F.col("o_orderkey") % 3 == 0).select(
-        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("tprice")
+    k = F.col("o_orderkey")
+    in_t, in_s = (k % 3 == 0), (k % 2 == 0)
+    tprice = F.when(in_t, F.col("o_totalprice"))
+    sprice = F.when(in_s, F.col("o_totalprice") + 1000.0)
+    op = F.when(in_s, F.when(k % 10 == 0, F.lit("D")).otherwise(F.lit("U")))
+    return (
+        o.where(in_t | in_s)
+        .where(sprice.isNull() | (op != "D"))
+        .select(
+            k.alias("o_orderkey"),
+            F.round(F.coalesce(sprice, tprice), 2).alias("price"),
+            F.when(sprice.isNull(), F.lit("kept"))
+            .when(tprice.isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+        )
     )
-    source = o.where(F.col("o_orderkey") % 2 == 0).select(
-        F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice") + 1000.0).alias("sprice"),
-        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-    )
-    j = target.join(source, "k", "full_outer")
-    merged = j.where(
-        (F.col("sprice").isNull()) | (F.col("op") != "D")
-    ).select(
-        F.col("k").alias("o_orderkey"),
-        F.round(F.coalesce(F.col("sprice"), F.col("tprice")), 2).alias("price"),
-        F.when(F.col("sprice").isNull(), F.lit("kept"))
-        .when(F.col("tprice").isNull(), F.lit("inserted"))
-        .otherwise(F.lit("updated"))
-        .alias("action"),
-    )
-    return merged
 
 
 # ---------------------------------------------------------------------------
