@@ -238,10 +238,16 @@ def sync_to_jdbc(
     ]
     if mode != "incremental":
         # converge deletions on full passes: target rows whose key is
-        # absent from the staged full image go away in the same txn
+        # absent from the staged full image go away in the same txn.
+        # NOT EXISTS, not NOT IN: NOT IN evaluates to UNKNOWN (deleting
+        # nothing) if the staging subquery ever yields a NULL key, and
+        # databases plan the correlated anti-join form better on large
+        # targets (lake merge keys are non-null today, so this is
+        # hardening + planning, not a behavior change).
         extra.insert(0, (
-            f"DELETE FROM {target_table} WHERE {q}{key}{q} NOT IN "
-            f"(SELECT {q}{key}{q} FROM {staging})"
+            f"DELETE FROM {target_table} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {staging} WHERE "
+            f"{staging}.{q}{key}{q} = {target_table}.{q}{key}{q})"
         ))
     n = jdbc_staged_upsert(
         spark, url, df, target_table, key, op_col="_op", staging=staging,
@@ -317,17 +323,25 @@ def verify_target(
     from target_status."""
     j = target_status(spark, table, url, target_table,
                       properties=properties, transform=transform)
-    agg = {r["status"]: r["n"] for r in
-           j.groupBy("status").agg(F.count("*").alias("n")).collect()}
-    bad = j.where(F.col("status") != "ok")
-    out = {
-        "match": not agg.keys() - {"ok"},
-        "ok": agg.get("ok", 0),
-        "missing_in_target": agg.get("missing_in_target", 0),
-        "extra_in_target": agg.get("extra_in_target", 0),
-        "differs": agg.get("differs", 0),
-        "divergent_sample": [
-            (r["k"], r["status"]) for r in bad.limit(sample).collect()
-        ],
-    }
+    # persist: the counts aggregate and the divergent sample are two
+    # actions over the same frame -- left lazy, the second one re-reads
+    # the entire JDBC target and re-scans/re-hashes the lake table
+    # (doubling cost on exactly the large tables this is built for)
+    j = j.persist()
+    try:
+        agg = {r["status"]: r["n"] for r in
+               j.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        bad = j.where(F.col("status") != "ok")
+        out = {
+            "match": not agg.keys() - {"ok"},
+            "ok": agg.get("ok", 0),
+            "missing_in_target": agg.get("missing_in_target", 0),
+            "extra_in_target": agg.get("extra_in_target", 0),
+            "differs": agg.get("differs", 0),
+            "divergent_sample": [
+                (r["k"], r["status"]) for r in bad.limit(sample).collect()
+            ],
+        }
+    finally:
+        j.unpersist()
     return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -96,13 +97,15 @@ def _decode_bytes(payload: bytes) -> list[float]:
     # 2^53, far beyond any payload sum), so downstream derived stats
     # (e.g. mean = sum/count) are reproducible bit-for-bit across engines.
     # This is the gate/oracle path and the fallback when no codec library
-    # is installed.
+    # is installed. numpy (not a pure-Python byte loop) per the
+    # do-the-heavy-lifting-in-native-code rule: uint8 view, int64 sum --
+    # exact integers, value-identical to the Python loop, ~10x less
+    # per-batch CPU.
     if payload is None or len(payload) == 0:
         return [0.0, 0.0, 0.0, 0.0]
-    n = float(len(payload))
-    s = float(sum(payload))
-    mx, mn = float(max(payload)), float(min(payload))
-    return [n, s, mx, mn]
+    a = np.frombuffer(bytes(payload), dtype=np.uint8)
+    return [float(a.size), float(int(a.sum(dtype=np.int64))),
+            float(a.max()), float(a.min())]
 
 
 def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
@@ -288,7 +291,13 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    # project to exactly the columns the kernel touches BEFORE the Python
+    # boundary: Spark cannot see inside _extract, so without the select it
+    # ships (and reads from storage) every column -- e.g. the meta struct
+    # -- through Arrow for nothing
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _extract, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

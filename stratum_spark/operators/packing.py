@@ -45,7 +45,17 @@ def _banded_prefix(df, order_cols, weight, n_bands: int):
     is a window PARTITIONED BY band -- n_bands-way parallel, never a
     one-partition global window. The `__cum` values are band-placement-
     independent: rows equal to a cut all land in the same (lower) band,
-    so (band, *order_cols) order == global (*order_cols) order."""
+    so (band, *order_cols) order == global (*order_cols) order.
+
+    The input is localCheckpoint()ed first: this function evaluates it
+    three times (approxQuantile job, per-band totals job, the final
+    windowed plan), which would otherwise triple an expensive upstream
+    AND -- if the upstream were nondeterministic (a table mutated
+    mid-query, sampling) -- let the band totals disagree with the final
+    pass and silently corrupt offsets. The materialization pins one
+    snapshot for all three passes; deterministic input is otherwise a
+    REQUIREMENT of any multi-pass prefix sum."""
+    df = df.localCheckpoint()
     first = F.col(order_cols[0]).cast("double")
     cuts: list[float] = []
     if n_bands > 1:

@@ -119,3 +119,28 @@ def test_chunk_manifest_straddling_doc_counted_in_every_chunk(spark):
     m = {r["chunk_id"]: (r["n_docs"], r["n_tokens"])
          for r in chunk_manifest(spans, chunk_tokens=3).collect()}
     assert m == {0: (1, 3), 1: (1, 3), 2: (1, 3), 3: (1, 1)}
+
+
+def test_banded_prefix_pins_one_snapshot_of_nondeterministic_input(spark):
+    """_banded_prefix evaluates its input three times (quantile cuts,
+    band totals, final windowed plan). The input is localCheckpoint()ed
+    so all three passes see ONE snapshot -- with a nondeterministic
+    upstream (rand() here; a table mutated mid-query in production) the
+    unpinned form lets band totals disagree with the final pass and
+    silently corrupts offsets. The output must be one internally
+    consistent prefix sum over the rows it returns."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.floor(F.rand() * 50) + 1).cast("int").alias("n_tok"),
+    )
+    out = (
+        chunk_token_stream(df, chunk_tokens=64, n_bands=8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(out) == 2000
+    cum = 0
+    for r in out:
+        assert r["tok_start"] == cum, (r, cum)
+        cum += r["n_tok"]
+        assert r["tok_end"] == cum

@@ -115,6 +115,40 @@ def test_sync_out_lifecycle(spark, tmp_path):
     _assert_synced(spark, url_plain, t)  # rogue row gone, d5 updated
 
 
+def test_full_pass_converges_null_keyed_target_row(spark, tmp_path):
+    """A NULL-keyed junk row in a PK-less target must be deleted by the
+    full-pass convergence DELETE. The NOT IN formulation evaluates to
+    UNKNOWN for a NULL key and keeps the row forever; the NOT EXISTS
+    rewrite is null-safe and removes it."""
+    url = "jdbc:derby:memory:syncnull;create=true"
+    url_plain = "jdbc:derby:memory:syncnull"
+    conn = _conn(spark, url)
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE tgt", "DROP TABLE tgt_sync"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    # no PRIMARY KEY: NULL keys are representable in this target
+    st.executeUpdate(
+        'CREATE TABLE tgt ("doc_id" VARCHAR(64), "n" INT, "tokens" CLOB)'
+    )
+    st.executeUpdate("INSERT INTO tgt VALUES (NULL, -1, NULL)")
+    st.executeUpdate("INSERT INTO tgt VALUES ('stale', -2, NULL)")
+    conn.close()
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key="doc_id", n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [(f"d{i}", i, [i]) for i in range(5)], SCHEMA), op_col=None)
+    res = sync_to_jdbc(spark, t, url_plain, "tgt", properties=PROPS)
+    assert res["mode"] == "full" and res["applied"] == 5
+    got = _target_rows(spark, url_plain, "tgt")
+    assert None not in got, "NULL-keyed row must be converged away"
+    assert "stale" not in got
+    _assert_synced(spark, url_plain, t)
+
+
 def test_sync_out_requires_key(spark, tmp_path):
     import pytest
 
