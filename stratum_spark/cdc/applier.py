@@ -136,6 +136,13 @@ class CdcApplier:
         self._lww_cal: dict | None = None
         self._lww_walls: dict[str, float] = {}
         self._lww_probe_done = False
+        # scale-adaptive feed-scan split sizing (_tune_feed_split): derived
+        # per epoch from OBSERVED epoch bytes, never a host-tuned constant.
+        # STRATUM_FEED_SPLIT_BYTES pins it explicitly (0 = leave session
+        # default untouched).
+        env_split = os.environ.get("STRATUM_FEED_SPLIT_BYTES")
+        self._feed_split_env: int | None = int(env_split) if env_split else None
+        self._feed_split: int | None = None
         # streaming receipts resolved from the write job's own observation
         # (the zero-extra-job path) vs recomputed from files -- counted so
         # tests can pin that the observation path actually engages
@@ -451,6 +458,43 @@ class CdcApplier:
                 )
             except Exception:  # a concurrent commit may conflict; the
                 pass  # in-memory value still governs this applier
+
+    def _tune_feed_split(self, epoch_bytes: int) -> None:
+        """Scale-ADAPTIVE scan-split sizing (guide §6 input-split size,
+        read through the §2 lens: the epoch scan's decode parallelism is
+        bounded by bytes/split). A WAL feed often arrives as a handful of
+        large segment files; at the default 128 MB split each segment is
+        one task, so a bounded epoch's parquet decode runs ~4-wide while
+        the rest of the box idles (measured 309k -> 438k ev/s steady at
+        16 cores from fixing exactly this). Derive the split from the
+        OBSERVED epoch bytes so each epoch scan yields roughly 2 tasks
+        per core -- the sizing tracks epoch shape, not this host -- and
+        clamp to [8 MB, 128 MB]: cluster-scale epochs (10^7+ events)
+        keep large sequential splits per the guide's large-scan advice,
+        and the floor matches write_binlog's 8 MB row groups (splits
+        below the row-group size read nothing). Session-wide conf, which
+        is intended: compaction reads the same segments-worth of delta
+        bytes and wants the same decode parallelism. Runs from the first
+        WARM epoch (epoch 0 has no observation -- it is also the JVM
+        warmup everywhere this is measured); re-set only on >=2x drift
+        so the conf isn't churned every epoch."""
+        if self._feed_split_env is not None:
+            if self._feed_split is None and self._feed_split_env > 0:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes",
+                    str(self._feed_split_env),
+                )
+                self._feed_split = self._feed_split_env
+            return
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        want = max(8 << 20, min(128 << 20, epoch_bytes // (2 * par)))
+        if self._feed_split is None or not (
+            0.5 < want / self._feed_split < 2.0
+        ):
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(want)
+            )
+            self._feed_split = want
 
     def _table_schema_ver(self) -> int:
         return int(self.tokens.snapshot().properties.get("schema_ver", "0"))
@@ -1308,6 +1352,7 @@ class CdcApplier:
             "epoch_bytes": rows_in * EVENT_FIXED_BYTES + sum_tok * 4,
             "rows_in": rows_in,
         }
+        self._tune_feed_split(self._lww_obs["epoch_bytes"])
         if prep.get("lww_used"):
             self._record_lww_wall(prep["lww_used"], epoch, wall_ms / 1000.0, rows_in)
         lineage_rows.append(

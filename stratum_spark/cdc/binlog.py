@@ -182,6 +182,18 @@ def write_binlog(
 
     Range partitioning keeps each chunk an lsn interval, so an epoch reads
     exactly the files that overlap it.
+
+    Row groups are capped at 8 MB (default 128 MB): the consumer reads
+    bounded lsn-range epochs, and the row group is the unit of BOTH
+    predicate pruning (tighter per-group lsn bounds at the epoch edges)
+    and scan splitting -- with one 50 MB+ row group per segment an
+    epoch's parquet decode cannot parallelize past its file count no
+    matter the core count (measured: the 8M-event bench feed decodes
+    4-wide at 16 cores, and re-laying the same rows into small row
+    groups + right-sized splits lifted steady apply 309k -> 438k ev/s).
+    A real WAL shipper ships thousands of segments so large deployments
+    are file-parallel anyway; small row groups make the few-segment
+    shape behave the same.
     """
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "_stage")
@@ -189,6 +201,7 @@ def write_binlog(
         df.repartitionByRange(n_chunks, F.col("lsn"))
         .sortWithinPartitions("lsn")
         .write.mode("overwrite")
+        .option("parquet.block.size", 8 << 20)
         .parquet(tmp)
     )
     import shutil
