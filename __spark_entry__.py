@@ -276,11 +276,21 @@ def _q_window_running(spark, sf):
 
 def _q_union_distinct(spark, sf):
     # §2.5 UNION (documented in the reference but absent from its grammar --
-    # we support it)
+    # we support it). Round 7: both union branches are filtered projections
+    # of the SAME scan onto the SAME columns, so
+    # distinct(A union_all B) == distinct(rows satisfying predA OR predB)
+    # unconditionally (set identity -- no uniqueness assumption needed);
+    # one scan + one filter replaces two scans + a union. The distinct
+    # still runs, so the result is identical row-for-row. A/B'd
+    # exceptAll-identical; oracle SQL still states the UNION form.
     o = _t(spark, sf, "orders")
-    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
-    b = o.where(F.col("o_totalprice") > 150000.0).select("o_orderkey", "o_orderstatus")
-    return a.unionByName(b).dropDuplicates()
+    return (
+        o.where(
+            (F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 150000.0)
+        )
+        .select("o_orderkey", "o_orderstatus")
+        .dropDuplicates()
+    )
 
 
 def _q_topk_per_group(spark, sf):

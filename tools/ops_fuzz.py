@@ -140,6 +140,14 @@ def run_seed(spark, root: str, seed: int, steps: int) -> None:
     # end-of-seed: one final sync + audit so every seed proves egress
     # convergence from whatever state the interleaving left behind
     sync_modes.append(_sync_and_audit(spark, t, seed, created))
+    if created:
+        # free the seed's in-memory Derby database: without ;drop=true the
+        # heap accumulates one database per seed across a multi-seed run
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:memory:fz{seed};drop=true")
+        except Exception:
+            pass  # SQLNonTransientConnectionException 08006 = dropped OK
     print(f"seed {seed}: {steps} steps OK "
           f"({len(model)} live docs, v{t.snapshot().version}, scans exact, "
           f"syncs {'/'.join(sync_modes)} audited)",
