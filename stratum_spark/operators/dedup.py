@@ -239,19 +239,22 @@ def ngram_jaccard_pairs(
     can be missed (near-dup pairs share many shingles, so rare ones too).
     Candidates shuffle as ids + counts only.
 
-    Materialization discipline: inv and n_sh feed 3-6 plan branches (df
-    cap, anti-join, self-join, per-side stats, recheck); left lazy each
+    Materialization discipline: inv feeds 3-6 plan branches (df cap,
+    anti-join, self-join, per-side stats, recheck); left lazy each
     branch RE-RUNS the shingle pipeline -- the round-6 driver plan held
-    12 copies of gram_frame (408 nodes, 108 Exchanges). Both frames are
+    12 copies of gram_frame (408 nodes, 108 Exchanges). inv is
     localCheckpoint()ed so the shingle pass runs ONCE per call (the same
     lineage discipline dup_clusters uses; recompute-from-docs is the
-    executor-loss recovery). When no gram exceeds max_df -- known from
-    the materialized index for the cost of one tiny aggregate -- kept ==
-    inv, every candidate's ck is already exact, and the recheck branch
-    is empty by construction, so the anti-join and the recheck union are
-    skipped outright instead of scheduling their no-op joins."""
+    executor-loss recovery); n_sh stays lazy -- it is a cheap one-pass
+    aggregate of the checkpointed inv and the extra blocking
+    materialization A/B'd a wash-to-slower. When no gram exceeds max_df
+    -- known from the materialized index for the cost of one tiny
+    aggregate -- kept == inv, every candidate's ck is already exact, and
+    the recheck branch is empty by construction, so the anti-join and
+    the recheck union are skipped outright instead of scheduling their
+    no-op joins."""
     inv = gram_frame(docs, n).localCheckpoint()
-    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint()
+    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         inv.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -343,13 +346,16 @@ def minhash_lsh_pairs(
     Jaccard (the standard shingle->minhash->band->bucket-join pipeline).
     Returns (doc_a, doc_b, jaccard) for verified candidates.
 
-    inv / n_sh are localCheckpoint()ed: the shingle pipeline otherwise
-    re-runs once per plan branch (signatures, both verify sides, both
-    stat sides -- 4-6 copies in the round-6 plan); the band frame too,
-    since the candidate self-join evaluates it twice."""
+    inv is localCheckpoint()ed: the shingle pipeline otherwise re-runs
+    once per plan branch (signatures, both verify sides, both stat sides
+    -- 4-6 copies in the round-6 plan). n_sh and the band frame are left
+    lazy ON PURPOSE: they are cheap one-pass derivations of the
+    checkpointed inv, and an A/B of all checkpoint combinations measured
+    the extra blocking materializations net slower (inv-only 1.45-1.5s
+    vs all-three 1.7-1.8s vs fully-lazy 1.8-2.0s at sf0.1)."""
     r = k // bands
     inv = gram_frame(docs, n).localCheckpoint()
-    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint()
+    n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     mins = _minhash_mins(inv, k)
     # band rows carry (doc_id, band, bh) ONLY -- shared-gram counts join
     # after candidate dedup (_verify_jaccard_counts), so the (band-key) shuffle
@@ -372,7 +378,7 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    ).localCheckpoint()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,
