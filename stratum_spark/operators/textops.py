@@ -32,7 +32,10 @@ def token_counts(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(ws_tokens(t)).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(WORD_RE), 0)).alias("n_re_tokens"),
+        # regexp_count: same non-overlapping match count as
+        # size(regexp_extract_all(..)) without materializing the match
+        # array per row
+        F.regexp_count(t, F.lit(WORD_RE)).alias("n_re_tokens"),
         F.length(t).alias("n_chars_m"),
     )
 
@@ -42,7 +45,10 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     t = F.col("text")
     n_chars = F.length(t)
     n_tok = F.size(ws_tokens(t))
-    n_alnum = F.length(F.regexp_replace(t, "[^a-z0-9]", ""))
+    # count [a-z0-9] chars directly (regexp_count) instead of building a
+    # stripped COPY of every document just to take its length -- same
+    # value (single-char matches cannot overlap), no per-row allocation
+    n_alnum = F.regexp_count(t, F.lit("[a-z0-9]"))
     punct_ratio = (n_chars - n_alnum - (n_tok - 1)).cast("double") / n_chars
     stop_hits = F.size(
         F.array_intersect(ws_tokens(t), F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
@@ -128,9 +134,11 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     redaction so digits inside an address are never double-counted.
     Pure projection; order of the two rules is part of the contract."""
     t = F.col(text_col)
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(.., 0)): same
+    # non-overlapping match semantics, no per-row match-array build
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
     t1 = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
-    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), F.lit(0)))
+    n_phones = F.regexp_count(t1, F.lit(PHONE_RE))
     t2 = F.regexp_replace(t1, PHONE_RE, "[PHONE]")
     return docs.select(
         "doc_id",
