@@ -31,20 +31,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-HEADLINE_QUERIES = [
-    "agg_pricing",
-    "multi_join",
-    "left_join_agg",
-    "window_lww",
-    "merge_upsert_sim",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "text_quality",
-    "text_fingerprint",
-]
+# the frozen harness owns the headline list; import it so the two can
+# never drift (bench.py has no import side effects -- main() is guarded)
+from bench import HEADLINE_QUERIES  # noqa: E402
 
 
 def main() -> None:
@@ -65,6 +54,13 @@ def main() -> None:
     names = list(qs) if args.all else HEADLINE_QUERIES
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
+    unknown = [n for n in names if n not in qs]
+    if unknown or not names:
+        raise SystemExit(
+            f"unknown/empty query selection {unknown or names}; "
+            f"valid: {sorted(qs)}")
+    if args.reps < 1:
+        raise SystemExit("--reps must be >= 1")
 
     spark = get_spark("bench_extra", cores=CPUS)
     sc = spark.sparkContext

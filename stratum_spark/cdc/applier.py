@@ -143,6 +143,7 @@ class CdcApplier:
         env_split = os.environ.get("STRATUM_FEED_SPLIT_BYTES")
         self._feed_split_env: int | None = int(env_split) if env_split else None
         self._feed_split: int | None = None
+        self._feed_bytes_ref: int = 0  # decaying max of observed epoch bytes
         # streaming receipts resolved from the write job's own observation
         # (the zero-extra-job path) vs recomputed from files -- counted so
         # tests can pin that the observation path actually engages
@@ -477,7 +478,15 @@ class CdcApplier:
         bytes and wants the same decode parallelism. Runs from the first
         WARM epoch (epoch 0 has no observation -- it is also the JVM
         warmup everywhere this is measured); re-set only on >=2x drift
-        so the conf isn't churned every epoch."""
+        so the conf isn't churned every epoch.
+
+        Hysteresis: the split is sized from a DECAYING MAX of observed
+        epoch bytes, and epochs below a quarter of that reference are
+        ignored outright -- a catch-up stream alternating tiny heartbeat
+        epochs with full ones must not clamp the session to 8 MB splits
+        right before a 10 GB epoch plans its scan. A genuinely shrinking
+        workload still adapts: the reference decays 10%/epoch, so ~20
+        consistently-small epochs re-size it downward."""
         if self._feed_split_env is not None:
             if self._feed_split is None and self._feed_split_env > 0:
                 self.spark.conf.set(
@@ -486,8 +495,15 @@ class CdcApplier:
                 )
                 self._feed_split = self._feed_split_env
             return
+        self._feed_bytes_ref = max(
+            int(epoch_bytes), int(0.9 * self._feed_bytes_ref)
+        )
+        if epoch_bytes < self._feed_bytes_ref // 4:
+            return  # unrepresentative (tail/heartbeat) epoch
         par = max(self.spark.sparkContext.defaultParallelism, 1)
-        want = max(8 << 20, min(128 << 20, epoch_bytes // (2 * par)))
+        want = max(
+            8 << 20, min(128 << 20, self._feed_bytes_ref // (2 * par))
+        )
         if self._feed_split is None or not (
             0.5 < want / self._feed_split < 2.0
         ):

@@ -93,8 +93,16 @@ def _ensure_target_columns(
     try:
         md = conn.getMetaData()
         have: set[str] = set()
-        for name in (target_table, target_table.upper()):
-            rs = md.getColumns(None, None, name, None)
+        # schema-qualified targets (sc.tgt): the JDBC metadata API takes
+        # schema and table separately -- a dotted table-name pattern
+        # matches nothing
+        *schema_parts, base = target_table.split(".")
+        schema = schema_parts[-1] if schema_parts else None
+        for sc, name in (
+            (schema, base),
+            (schema.upper() if schema else None, base.upper()),
+        ):
+            rs = md.getColumns(None, sc, name, None)
             while rs.next():
                 have.add(rs.getString("COLUMN_NAME"))
             rs.close()
@@ -243,11 +251,18 @@ def sync_to_jdbc(
         # nothing) if the staging subquery ever yields a NULL key, and
         # databases plan the correlated anti-join form better on large
         # targets (lake merge keys are non-null today, so this is
-        # hardening + planning, not a behavior change).
+        # hardening + planning, not a behavior change). The staging side
+        # gets an explicit alias (aliasing a plain FROM entry is
+        # universal; Derby does NOT expose the bare name of a
+        # schema-qualified entry as its correlation name, and aliasing
+        # the DELETE target is MySQL>=8.0.16-only -- so the target
+        # column is qualified by the table name exactly as written,
+        # which every supported dialect accepts for its legal name
+        # shapes including sc.tgt).
         extra.insert(0, (
             f"DELETE FROM {target_table} WHERE NOT EXISTS "
-            f"(SELECT 1 FROM {staging} WHERE "
-            f"{staging}.{q}{key}{q} = {target_table}.{q}{key}{q})"
+            f"(SELECT 1 FROM {staging} stg_anti WHERE "
+            f"stg_anti.{q}{key}{q} = {target_table}.{q}{key}{q})"
         ))
     n = jdbc_staged_upsert(
         spark, url, df, target_table, key, op_col="_op", staging=staging,

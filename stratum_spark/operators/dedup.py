@@ -255,12 +255,17 @@ def ngram_jaccard_pairs(
     no-op joins."""
     inv = gram_frame(docs, n).localCheckpoint()
     n_sh = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # hot is checkpointed too: the emptiness probe below and (on the
+    # capped path) the broadcast anti-join both consume it -- one df
+    # aggregation over the index instead of two, and the probe itself
+    # becomes a metadata-cheap limit(1) over the materialized (tiny,
+    # <= total_postings/max_df rows) list
     hot = (
         inv.groupBy("g")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > max_df)
         .select("g")
-    )
+    ).localCheckpoint()
     if hot.isEmpty():
         a, b = inv.alias("a"), inv.alias("b")
         common = (

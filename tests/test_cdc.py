@@ -314,3 +314,32 @@ def test_backfill_validate_off_no_duplicate_keys(spark, tmp_path):
     st = ap.state()
     assert st.groupBy("doc_id").count().where("count > 1").count() == 0
     assert st.count() == st.select("doc_id").distinct().count()
+
+
+def test_feed_split_tuning_adaptive_with_hysteresis(spark, tmp_path):
+    """_tune_feed_split sizes spark.sql.files.maxPartitionBytes from a
+    decaying max of observed epoch bytes: clamps to [8MB, 128MB], ignores
+    unrepresentative tiny epochs (a heartbeat must not clamp the session
+    right before a large epoch plans its scan), but adapts downward when
+    the workload genuinely shrinks."""
+    from stratum_spark.cdc import CdcApplier
+
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key)
+    try:
+        ap = CdcApplier(spark, str(tmp_path / "wh"), job_id="tune",
+                        n_buckets=4, evolution=[])
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        ap._tune_feed_split((128 << 20) * 2 * par)     # big epoch
+        assert spark.conf.get(key) == str(128 << 20)   # clamped high
+        ap._tune_feed_split(1000)                      # heartbeat: ignored
+        assert spark.conf.get(key) == str(128 << 20)
+        for _ in range(100):                           # genuine shrink
+            ap._tune_feed_split(2 << 20)
+        assert spark.conf.get(key) == str(8 << 20)     # re-sized down
+        mid = 32 * (2 * par) << 20                     # 32MB/core target
+        for _ in range(60):
+            ap._tune_feed_split(mid)
+        assert spark.conf.get(key) == str(32 << 20)
+    finally:
+        spark.conf.set(key, orig)

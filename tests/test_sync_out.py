@@ -343,3 +343,36 @@ def test_verify_target_detects_tamper(spark, tmp_path):
     got = dict(res["divergent_sample"])
     assert got == {"d3": "differs", "d5": "missing_in_target",
                    "ghost": "extra_in_target"}
+
+
+def test_full_pass_schema_qualified_target(spark, tmp_path):
+    """The convergence DELETE's NOT EXISTS correlation must keep working
+    when the target table is schema-qualified (sc.tgt): correlation refs
+    use the bare table names, since a fully qualified column path would
+    be a 3-part reference."""
+    url = "jdbc:derby:memory:syncsc;create=true"
+    url_plain = "jdbc:derby:memory:syncsc"
+    conn = _conn(spark, url)
+    st = conn.createStatement()
+    for ddl in ("DROP TABLE SC.tgt", "DROP TABLE SC.tgt_sync",
+                "DROP SCHEMA SC RESTRICT"):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:
+            pass
+    st.executeUpdate("CREATE SCHEMA SC")
+    st.executeUpdate(
+        'CREATE TABLE SC.tgt ("doc_id" VARCHAR(64), "n" INT, "tokens" CLOB)'
+    )
+    st.executeUpdate("INSERT INTO SC.tgt VALUES ('stale', -2, NULL)")
+    conn.close()
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key="doc_id", n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [(f"d{i}", i, [i]) for i in range(4)], SCHEMA), op_col=None)
+    res = sync_to_jdbc(spark, t, url_plain, "SC.tgt", properties=PROPS)
+    assert res["mode"] == "full" and res["applied"] == 4
+    got = _target_rows(spark, url_plain, "SC.tgt")
+    assert "stale" not in got
+    _assert_synced(spark, url_plain, t, target="SC.tgt")
